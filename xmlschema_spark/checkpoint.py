@@ -1,0 +1,168 @@
+"""Per-partition checkpoint/resume for validation runs.
+
+North-star requirement: interrupted runs resume exactly, no duplicated
+violation rows. The reference's nearest mechanism is its lazy single-pass
+iterparse (resources.py:544-590) — subtree-at-a-time with bounded state;
+ours is partition-at-a-time with durable state.
+
+Design (works identically against Iceberg; here the sinks are parquet
+directories because Iceberg jars aren't in the container — the layout
+``.../violations/part=<p>/`` matches an identity-partitioned Iceberg
+table, and ``dynamic`` partition-overwrite gives the same idempotent
+per-partition replace semantics as an Iceberg overwrite-by-filter):
+
+- state table: one JSON line per (run_id, partition_id) with status,
+  metrics, lineage (input fingerprint + ruleset hash).
+- ``run()`` processes PENDING partitions in batches; each batch is ONE
+  Spark job over ``df.filter(part ∈ batch)`` (NOT a per-partition loop —
+  resume = anti-join of pending partitions, SURVEY.md §2.8), writing
+  violations/verdicts with partitionOverwriteMode=dynamic so a re-run of
+  a half-written batch simply replaces those partitions (idempotent).
+- table-scoped rules (global uniqueness) run once in a final step gated
+  by their own state row, since they cannot be computed per-batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xmlschema_spark.engine import ValidationEngine
+from xmlschema_spark.rules import RuleSet
+
+
+def _ruleset_hash(ruleset: RuleSet) -> str:
+    return hashlib.sha256(ruleset.to_json().encode()).hexdigest()[:16]
+
+
+@dataclass
+class CheckpointedRun:
+    engine: ValidationEngine
+    base_dir: str
+    run_id: str
+
+    @property
+    def state_path(self) -> Path:
+        return Path(self.base_dir) / self.run_id / "state.jsonl"
+
+    @property
+    def violations_dir(self) -> str:
+        return str(Path(self.base_dir) / self.run_id / "violations")
+
+    @property
+    def verdicts_dir(self) -> str:
+        return str(Path(self.base_dir) / self.run_id / "verdicts")
+
+    # ----------------------------------------------------------------- state
+
+    def _load_state(self) -> dict[str, dict]:
+        state: dict[str, dict] = {}
+        if self.state_path.exists():
+            for line in self.state_path.read_text().splitlines():
+                if line.strip():
+                    row = json.loads(line)
+                    state[row["partition_id"]] = row  # last write wins
+        return state
+
+    def _append_state(self, rows: list[dict]) -> None:
+        self.state_path.parent.mkdir(parents=True, exist_ok=True)
+        with self.state_path.open("a") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+
+    # ------------------------------------------------------------------- run
+
+    def run(
+        self,
+        df: DataFrame,
+        batch_size: int = 4,
+        secondary: dict[str, DataFrame] | None = None,
+        fail_after_batches: int | None = None,
+    ) -> None:
+        """Process all pending partitions. ``fail_after_batches`` exists for
+        the kill-and-resume test (FIXTURES.md `resume_midrun`)."""
+        spark = df.sparkSession
+        part_col = self.engine.partition_col
+        lineage = {
+            "ruleset_sha": _ruleset_hash(self.engine.ruleset),
+            "input_schema": df.schema.simpleString(),
+        }
+        state = self._load_state()
+        all_parts = [
+            r[0] for r in df.select(part_col).distinct().orderBy(part_col).collect()
+        ]
+        pending = [p for p in all_parts if state.get(str(p), {}).get("status") != "DONE"]
+
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batches = [pending[i : i + batch_size] for i in range(0, len(pending), batch_size)]
+        for bi, batch in enumerate(batches):
+            if fail_after_batches is not None and bi >= fail_after_batches:
+                raise RuntimeError(f"injected failure before batch {bi}")
+            sub = df.filter(F.col(part_col).isin(batch))
+            # per-batch pass runs row + partition-scoped rules only; the
+            # table-scoped set rules run in finish() over the whole input.
+            batch_rules = RuleSet(
+                [r for r in self.engine.ruleset if not (r.scope == "table")]
+            )
+            eng = ValidationEngine(batch_rules, self.engine.id_col, part_col)
+            result = eng.validate(sub, run_id=self.run_id, secondary=secondary, with_stats=False)
+            t0 = time.time()
+            (
+                result.violations.repartition("partition_id")
+                .write.mode("overwrite")
+                .partitionBy("partition_id")
+                .parquet(self.violations_dir)
+            )
+            result.verdicts.write.mode("overwrite").partitionBy("partition_id").parquet(
+                self.verdicts_dir
+            )
+            elapsed = time.time() - t0
+            self._append_state(
+                [
+                    {
+                        "run_id": self.run_id,
+                        "partition_id": str(p),
+                        "status": "DONE",
+                        "batch": bi,
+                        "wall_sec": round(elapsed, 3),
+                        **lineage,
+                    }
+                    for p in batch
+                ]
+            )
+
+    def finish(self, df: DataFrame, secondary: dict[str, DataFrame] | None = None) -> None:
+        """Table-scoped rules (global uniqueness/keyref) — run once, gated
+        by a '__table__' state row."""
+        state = self._load_state()
+        if state.get("__table__", {}).get("status") == "DONE":
+            return
+        table_rules = RuleSet([r for r in self.engine.ruleset if r.scope == "table"])
+        if len(table_rules):
+            eng = ValidationEngine(table_rules, self.engine.id_col, self.engine.partition_col)
+            result = eng.validate(df, run_id=self.run_id, secondary=secondary, with_stats=False)
+            (
+                result.violations.withColumn(
+                    "partition_id", F.lit("__table__")
+                )
+                .write.mode("overwrite")
+                .partitionBy("partition_id")
+                .parquet(self.violations_dir)
+            )
+        self._append_state(
+            [{"run_id": self.run_id, "partition_id": "__table__", "status": "DONE"}]
+        )
+
+    # --------------------------------------------------------------- readers
+
+    def violations(self, spark) -> DataFrame:
+        return spark.read.parquet(self.violations_dir)
+
+    def verdicts(self, spark) -> DataFrame:
+        return spark.read.parquet(self.verdicts_dir)

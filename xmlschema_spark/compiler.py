@@ -1,0 +1,146 @@
+"""Rule compiler: each row-level rule → one Spark SQL boolean ``Column``.
+
+This is the engine's analog of the reference's per-type validator lists
+(``XsdSimpleType.validators`` collected at
+/root/reference/xmlschema/validators/simple_types.py:105-132 and run per
+value at :330-342) — except compiled ONCE into a single wide projection
+that Catalyst fuses into one whole-stage-codegen pass over the scan.
+
+Null semantics follow XSD: facets constrain the *value space*, so a NULL
+passes every facet except ``not_null`` (presence is an occurrence
+constraint, xsdbase.py:783-784, not a facet). Gated rules (the
+type-alternatives/CTA analog, elements.py:778-792) only fire where the
+gate predicate holds.
+
+Everything here is JVM-side Catalyst expressions — no Python UDFs. The
+pandas-UDF rule kinds (decode_image, phash_consistency) live in
+``operators/multimodal.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from xmlschema_spark.functions.xsd_regex import XsdRegexError, xsd_patterns_to_java
+from xmlschema_spark.rules import Rule, RuleCompileError
+
+
+def _passes_when_null(col: Column, ok: Column) -> Column:
+    """Facet semantics: NULL is not a facet violation."""
+    return col.isNull() | ok
+
+
+def compile_row_rule(rule: Rule) -> Column:
+    """Return a boolean Column: True ⇔ the row SATISFIES the rule."""
+    c = F.col(rule.column) if rule.column else None
+    k = rule.kind
+
+    if k == "not_null":
+        ok = c.isNotNull()
+    elif k == "type":
+        # lexical-space cast check, analog of to_python decoders
+        # (builtins.py:219-247): cast failure ⇒ type violation.
+        target = rule.param("type")
+        if not target:
+            raise RuleCompileError(f"{rule.rule_id}: type rule needs params.type")
+        ok = _passes_when_null(c, c.try_cast(target).isNotNull())
+    elif k == "length":
+        ok = _passes_when_null(c, F.length(c) == int(rule.param("value")))
+    elif k == "min_length":
+        ok = _passes_when_null(c, F.length(c) >= int(rule.param("value")))
+    elif k == "max_length":
+        ok = _passes_when_null(c, F.length(c) <= int(rule.param("value")))
+    elif k == "min":
+        ok = _passes_when_null(c, c >= F.lit(rule.param("value")))
+    elif k == "max":
+        ok = _passes_when_null(c, c <= F.lit(rule.param("value")))
+    elif k == "min_exclusive":
+        ok = _passes_when_null(c, c > F.lit(rule.param("value")))
+    elif k == "max_exclusive":
+        ok = _passes_when_null(c, c < F.lit(rule.param("value")))
+    elif k == "total_digits":
+        # Reference counts significant digits via str(x).strip('0')
+        # (facets.py:421-423) — leading AND trailing zeros dropped.
+        s = F.regexp_replace(c.cast("string"), "[-.]", "")
+        sig = F.regexp_replace(F.regexp_replace(s, "0+$", ""), "^0+", "")
+        ok = _passes_when_null(c, F.length(sig) <= int(rule.param("value")))
+    elif k == "fraction_digits":
+        s = c.cast("string")
+        frac = F.when(
+            s.contains("."),
+            F.length(F.regexp_replace(F.substring_index(s, ".", -1), "0+$", "")),
+        ).otherwise(F.lit(0))
+        ok = _passes_when_null(c, frac <= int(rule.param("value")))
+    elif k == "pattern":
+        patterns = rule.param("patterns") or [rule.param("pattern")]
+        if not patterns or patterns[0] is None:
+            raise RuleCompileError(f"{rule.rule_id}: pattern rule needs params.patterns")
+        try:
+            java_re = xsd_patterns_to_java(list(patterns))
+        except XsdRegexError as e:
+            raise RuleCompileError(
+                f"{rule.rule_id}: untranslatable XSD regex ({e}); "
+                "use a pandas-UDF rule via operators.multimodal.regex_check"
+            ) from e
+        ok = _passes_when_null(c, c.rlike(java_re))
+    elif k == "enumeration":
+        values = rule.param("values")
+        if not values:
+            raise RuleCompileError(f"{rule.rule_id}: enumeration needs params.values")
+        ok = _passes_when_null(c, c.isin(*values))
+    elif k == "fixed":
+        ok = _passes_when_null(c, c == F.lit(rule.param("value")))
+    elif k == "occurs":
+        lo = int(rule.param("min", 0))
+        hi = rule.param("max")
+        ok = F.size(c) >= lo if hi is None else F.size(c).between(lo, int(hi))
+        ok = _passes_when_null(c, ok)
+    elif k == "assertion_sql":
+        sql = rule.param("sql")
+        if not sql:
+            raise RuleCompileError(f"{rule.rule_id}: assertion_sql needs params.sql")
+        # XsdAssert semantics (assertions.py:69-72): non-true ⇒ violation,
+        # so a NULL assertion result fails (coalesce to false).
+        ok = F.coalesce(F.expr(sql).cast("boolean"), F.lit(False))
+    else:
+        raise RuleCompileError(f"{rule.rule_id}: {k} is not a row-level kind")
+
+    if rule.gate:
+        # CTA analog: rows outside the gate trivially satisfy the rule.
+        ok = ~F.coalesce(F.expr(rule.gate).cast("boolean"), F.lit(False)) | ok
+    return ok
+
+
+def violation_reason(rule: Rule) -> str:
+    """Human-readable reason string, analog of
+    XMLSchemaValidationError.reason (exceptions.py:182-232)."""
+    p = rule.params
+    base = {
+        "not_null": f"value of {rule.column!r} is missing (required)",
+        "type": f"value of {rule.column!r} is not castable to {p.get('type')}",
+        "length": f"length of {rule.column!r} != {p.get('value')}",
+        "min_length": f"length of {rule.column!r} < {p.get('value')}",
+        "max_length": f"length of {rule.column!r} > {p.get('value')}",
+        "min": f"value of {rule.column!r} < {p.get('value')}",
+        "max": f"value of {rule.column!r} > {p.get('value')}",
+        "min_exclusive": f"value of {rule.column!r} <= {p.get('value')}",
+        "max_exclusive": f"value of {rule.column!r} >= {p.get('value')}",
+        "total_digits": f"{rule.column!r} exceeds totalDigits {p.get('value')}",
+        "fraction_digits": f"{rule.column!r} exceeds fractionDigits {p.get('value')}",
+        "pattern": f"value of {rule.column!r} does not match pattern(s)",
+        "enumeration": f"value of {rule.column!r} not in enumeration",
+        "fixed": f"value of {rule.column!r} != fixed value {p.get('value')!r}",
+        "occurs": f"cardinality of {rule.column!r} outside [{p.get('min', 0)}, {p.get('max')}]",
+        "assertion_sql": f"assertion failed: {p.get('sql')}",
+    }.get(rule.kind, rule.kind)
+    if rule.gate:
+        base += f" [where {rule.gate}]"
+    return base
+
+
+def compile_ruleset_projection(rules: list[Rule]) -> dict[str, Column]:
+    """All row rules → {rule_id: ok_column}. One wide projection, fused by
+    whole-stage codegen (the Catalyst counterpart of the reference's
+    parse-time validator specialization, facets.py:150-159)."""
+    return {r.rule_id: compile_row_rule(r) for r in rules}

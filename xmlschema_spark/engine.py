@@ -1,0 +1,354 @@
+"""ValidationEngine — scan → wide rule pass → violations + verdicts.
+
+Lifecycle (the Spark re-expression of ``schema.validate()``,
+/root/reference/xmlschema/validators/schema.py:946-1020, per SURVEY.md §3.2):
+
+1. driver compiles the rule set (once — the analog of XsdGlobals.build),
+2. ONE wide projection evaluates every row-level rule as a boolean column
+   fused by whole-stage codegen; failing rules fold into an array of
+   violation structs per row; explode → violation rows,
+3. set-level rules (unique/key/keyref) run as hash aggregations /
+   left-anti joins,
+4. dataset-level rules (decode_image, phash_consistency, drift) run as
+   pandas-UDF passes over pruned column sets,
+5. verdict assembly: per-partition PASS/FAIL + counts + metrics.
+
+Validation modes mirror XSD_VALIDATION_MODES (xsdbase.py:24,674-705):
+``strict`` fail-fast (first violation only), ``lax`` collect everything,
+``skip`` no checks (stats only).
+
+Violation rows mirror XMLSchemaValidationError{validator, obj, reason,
+path} (exceptions.py:182-232); verdict rows carry the PSVI validity
+triple collapsed to PASS/FAIL per partition (xsdbase.py:62-92).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xmlschema_spark.compiler import compile_row_rule, violation_reason
+from xmlschema_spark.operators import drift as drift_ops
+from xmlschema_spark.operators import identity as id_ops
+from xmlschema_spark.operators import multimodal as mm_ops
+from xmlschema_spark.operators import stats as stats_ops
+from xmlschema_spark.rules import RuleSet
+
+VIOLATION_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("partition_id", T.StringType()),
+        T.StructField("rule_id", T.StringType()),
+        T.StructField("row_id", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("reason", T.StringType()),
+        T.StructField("severity", T.StringType()),
+    ]
+)
+
+
+@dataclass
+class ValidationResult:
+    run_id: str
+    violations: DataFrame
+    verdicts: DataFrame
+    stats: DataFrame | None = None
+    mode: str = "lax"
+    extras: dict = field(default_factory=dict)
+
+
+class ValidationEngine:
+    """Compiled validator for one table shape.
+
+    ``id_col`` identifies rows in violation output (the analog of the
+    error's element path); ``partition_col`` is the verdict/checkpoint
+    scope (the Iceberg partition analog, cf. reference per-subtree scope
+    at elements.py:546-551).
+    """
+
+    def __init__(
+        self,
+        ruleset: RuleSet,
+        id_col: str = "image_id",
+        partition_col: str = "part",
+    ):
+        self.ruleset = ruleset
+        self.id_col = id_col
+        self.partition_col = partition_col
+        # compile row rules once, driver-side
+        self._row_rules = ruleset.row_rules
+        self._row_preds = [(r, compile_row_rule(r), violation_reason(r)) for r in self._row_rules]
+
+    # ------------------------------------------------------------------ row
+
+    def row_violations(self, df: DataFrame, run_id: str) -> DataFrame:
+        """One scan; every rule a boolean; failures exploded to rows."""
+        if not self._row_preds:
+            return df.sparkSession.createDataFrame([], VIOLATION_SCHEMA)
+        structs = [
+            F.when(
+                ~ok,
+                F.struct(
+                    F.lit(r.rule_id).alias("rule_id"),
+                    F.lit(r.column or "").alias("column"),
+                    (F.col(r.column).cast("string") if r.column else F.lit(None).cast("string")).alias("value"),
+                    F.lit(reason).alias("reason"),
+                    F.lit(r.severity).alias("severity"),
+                ),
+            )
+            for r, ok, reason in self._row_preds
+        ]
+        exploded = (
+            df.select(
+                F.col(self.id_col).cast("string").alias("row_id"),
+                F.col(self.partition_col).cast("string").alias("partition_id"),
+                F.array_compact(F.array(*structs)).alias("__v"),
+            )
+            .filter(F.size("__v") > 0)
+            .select("row_id", "partition_id", F.explode("__v").alias("v"))
+        )
+        return exploded.select(
+            F.lit(run_id).alias("run_id"),
+            "partition_id",
+            F.col("v.rule_id").alias("rule_id"),
+            "row_id",
+            F.col("v.column").alias("column"),
+            F.col("v.value").alias("value"),
+            F.col("v.reason").alias("reason"),
+            F.col("v.severity").alias("severity"),
+        )
+
+    # ------------------------------------------------------------------ set
+
+    def set_violations(
+        self, df: DataFrame, run_id: str, secondary: dict[str, DataFrame] | None = None
+    ) -> list[DataFrame]:
+        """unique / key / keyref violations, reference duplicate semantics:
+        one violation per duplicated VALUE (identities.py:217-221)."""
+        out: list[DataFrame] = []
+        secondary = secondary or {}
+        for r in self.ruleset.set_rules:
+            cols = list(r.param("columns", []))
+            scope = self.partition_col if r.scope == "partition" else None
+            if r.kind in ("unique", "key"):
+                dups = id_ops.duplicate_values(
+                    df, cols, scope_col=scope,
+                    salt_partitions=int(r.param("salt_partitions", 0)),
+                )
+                part = F.col(scope).cast("string") if scope else F.lit("__table__")
+                out.append(
+                    dups.select(
+                        F.lit(run_id).alias("run_id"),
+                        part.alias("partition_id"),
+                        F.lit(r.rule_id).alias("rule_id"),
+                        F.concat_ws("|", *[F.col(c).cast("string") for c in cols]).alias("row_id"),
+                        F.lit(",".join(cols)).alias("column"),
+                        F.concat_ws("|", *[F.col(c).cast("string") for c in cols]).alias("value"),
+                        F.concat(
+                            F.lit(f"duplicated value for {r.kind} constraint ({r.rule_id}): x"),
+                            F.col("dup_count").cast("string"),
+                        ).alias("reason"),
+                        F.lit(r.severity).alias("severity"),
+                    )
+                )
+                if r.kind == "key":
+                    nulls = id_ops.key_null_rows(df, cols, self.id_col)
+                    out.append(
+                        nulls.select(
+                            F.lit(run_id).alias("run_id"),
+                            F.lit("__table__").alias("partition_id"),
+                            F.lit(r.rule_id).alias("rule_id"),
+                            F.col("row_id").cast("string").alias("row_id"),
+                            F.concat_ws(",", "null_columns").alias("column"),
+                            F.lit(None).cast("string").alias("value"),
+                            F.lit("missing key field (key fields are required)").alias("reason"),
+                            F.lit(r.severity).alias("severity"),
+                        )
+                    )
+            elif r.kind == "keyref":
+                ref_name = r.param("refer_table")
+                pk_df = secondary.get(ref_name)
+                if pk_df is None:
+                    raise ValueError(
+                        f"{r.rule_id}: keyref refers to table {ref_name!r}; "
+                        f"pass it via secondary={{'{ref_name}': df}}"
+                    )
+                orphans = id_ops.keyref_orphans(
+                    df, cols, pk_df, list(r.param("refer_columns", cols)),
+                    broadcast_pk=r.param("broadcast_pk"),
+                )
+                out.append(
+                    orphans.select(
+                        F.lit(run_id).alias("run_id"),
+                        F.col(self.partition_col).cast("string").alias("partition_id"),
+                        F.lit(r.rule_id).alias("rule_id"),
+                        F.col(self.id_col).cast("string").alias("row_id"),
+                        F.lit(",".join(cols)).alias("column"),
+                        F.concat_ws("|", *[F.col(c).cast("string") for c in cols]).alias("value"),
+                        F.lit(f"key not found in {ref_name} (keyref {r.rule_id})").alias("reason"),
+                        F.lit(r.severity).alias("severity"),
+                    )
+                )
+        return out
+
+    # -------------------------------------------------------------- dataset
+
+    def dataset_violations(self, df: DataFrame, run_id: str) -> list[DataFrame]:
+        out: list[DataFrame] = []
+        decode_rules = [r for r in self.ruleset.dataset_rules if r.kind == "decode_image"]
+        phash_rules = [r for r in self.ruleset.dataset_rules if r.kind == "phash_consistency"]
+        if decode_rules or phash_rules:
+            psnr_db = float((decode_rules or phash_rules)[0].param("psnr_db", 40.0))
+            checks = mm_ops.decode_check(
+                df,
+                psnr_db=psnr_db,
+                id_col=self.id_col,
+                check_phash=bool(phash_rules),
+                phash_max_hamming_lossy=(
+                    int(phash_rules[0].param("max_hamming_lossy", 20)) if phash_rules else 20
+                ),
+            )
+            # partition of each image recovered by joining back on id would
+            # add a shuffle over the binary column's ids; instead carry the
+            # partition through the UDF? The id→partition map is cheap:
+            part_map = df.select(
+                F.col(self.id_col).alias("image_id"),
+                F.col(self.partition_col).cast("string").alias("partition_id"),
+            )
+            checks = checks.join(part_map, "image_id", "left")
+            if decode_rules:
+                r = decode_rules[0]
+                bad = checks.filter(
+                    ~F.col("decode_ok") | ~F.col("dims_match") | ~F.col("fmt_match") | ~F.col("psnr_ok")
+                )
+                out.append(
+                    bad.select(
+                        F.lit(run_id).alias("run_id"),
+                        F.coalesce("partition_id", F.lit("__table__")).alias("partition_id"),
+                        F.lit(r.rule_id).alias("rule_id"),
+                        F.col("image_id").alias("row_id"),
+                        F.lit("bytes").alias("column"),
+                        F.lit(None).cast("string").alias("value"),
+                        F.concat_ws(
+                            "; ",
+                            F.when(~F.col("decode_ok"), F.concat(F.lit("decode failed: "), F.coalesce("error", F.lit("")))),
+                            F.when(F.col("decode_ok") & ~F.col("fmt_match"), F.lit("container fmt != declared fmt")),
+                            F.when(F.col("decode_ok") & ~F.col("dims_match"), F.lit("decoded dims != declared (w,h)")),
+                            F.when(F.col("decode_ok") & ~F.col("psnr_ok"), F.concat(F.lit("psnr below threshold: "), F.round("psnr", 2).cast("string"))),
+                        ).alias("reason"),
+                        F.lit(r.severity).alias("severity"),
+                    )
+                )
+            if phash_rules:
+                r = phash_rules[0]
+                bad = checks.filter(F.col("decode_ok") & ~F.col("phash_match"))
+                out.append(
+                    bad.select(
+                        F.lit(run_id).alias("run_id"),
+                        F.coalesce("partition_id", F.lit("__table__")).alias("partition_id"),
+                        F.lit(r.rule_id).alias("rule_id"),
+                        F.col("image_id").alias("row_id"),
+                        F.lit("phash").alias("column"),
+                        F.lit(None).cast("string").alias("value"),
+                        F.lit("stored phash != phash of decoded pixels").alias("reason"),
+                        F.lit(r.severity).alias("severity"),
+                    )
+                )
+        for r in self.ruleset.dataset_rules:
+            if r.kind in ("drift_ks", "drift_psi"):
+                col = r.param("column") or r.column
+                threshold = float(r.param("threshold", 0.2))
+                if r.kind == "drift_psi":
+                    scores = drift_ops.psi(df, col, self.partition_col, bins=int(r.param("bins", 10)))
+                    stat_col = "psi"
+                else:
+                    scores = drift_ops.ks(df, col, self.partition_col)
+                    stat_col = "ks"
+                bad = scores.filter(F.col(stat_col) > threshold)
+                out.append(
+                    bad.select(
+                        F.lit(run_id).alias("run_id"),
+                        F.col(self.partition_col).cast("string").alias("partition_id"),
+                        F.lit(r.rule_id).alias("rule_id"),
+                        F.lit(None).cast("string").alias("row_id"),
+                        F.lit(col).alias("column"),
+                        F.round(F.col(stat_col), 6).cast("string").alias("value"),
+                        F.lit(f"{stat_col} drift above {threshold} vs reference").alias("reason"),
+                        F.lit(r.severity).alias("severity"),
+                    )
+                )
+        return out
+
+    # ----------------------------------------------------------------- main
+
+    def validate(
+        self,
+        df: DataFrame,
+        run_id: str = "run0",
+        mode: str = "lax",
+        secondary: dict[str, DataFrame] | None = None,
+        with_stats: bool = True,
+    ) -> ValidationResult:
+        if mode not in ("strict", "lax", "skip"):
+            raise ValueError(f"bad mode {mode!r} (XSD_VALIDATION_MODES, xsdbase.py:24)")
+        spark = df.sparkSession
+
+        stats_df = None
+        if with_stats or mode == "skip":
+            profile_cols = [
+                f.name for f in df.schema.fields if f.name != self.partition_col
+            ]
+            stats_df = stats_ops.profile(df, profile_cols)
+
+        if mode == "skip":
+            # skip decodes raw, checks nothing (simple_types.py:334,518-523)
+            empty = spark.createDataFrame([], VIOLATION_SCHEMA)
+            verdicts = self._verdicts(df, empty, run_id)
+            return ValidationResult(run_id, empty, verdicts, stats_df, mode)
+
+        parts = [self.row_violations(df, run_id)]
+        parts += self.set_violations(df, run_id, secondary)
+        parts += self.dataset_violations(df, run_id)
+        violations = parts[0]
+        for p in parts[1:]:
+            violations = violations.unionByName(p)
+
+        if mode == "strict":
+            # fail-fast: surface one error, like validation='strict'
+            # raising at the first yield (xsdbase.py:698-701).
+            violations = violations.limit(1)
+
+        verdicts = self._verdicts(df, violations, run_id)
+        return ValidationResult(run_id, violations, verdicts, stats_df, mode)
+
+    def _verdicts(self, df: DataFrame, violations: DataFrame, run_id: str) -> DataFrame:
+        """Per-partition PASS/FAIL + counts. Table-scoped violations
+        (partition_id='__table__') fail every partition's verdict? No —
+        they get their own '__table__' verdict row, mirroring how the
+        reference attaches errors to the scope that declared the
+        constraint (elements.py:546-551)."""
+        rows = df.groupBy(
+            F.col(self.partition_col).cast("string").alias("partition_id")
+        ).agg(F.count(F.lit(1)).alias("rows_checked"))
+        vcounts = violations.filter(F.col("severity") == "error").groupBy("partition_id").agg(
+            F.count(F.lit(1)).alias("violation_count"),
+            F.count_distinct("rule_id").alias("rules_failed"),
+        )
+        joined = rows.join(vcounts, "partition_id", "full").select(
+            F.lit(run_id).alias("run_id"),
+            "partition_id",
+            F.when(F.coalesce("violation_count", F.lit(0)) > 0, F.lit("FAIL"))
+            .otherwise(F.lit("PASS"))
+            .alias("status"),
+            F.coalesce("rows_checked", F.lit(0)).alias("rows_checked"),
+            F.coalesce("violation_count", F.lit(0)).alias("violation_count"),
+            F.create_map(
+                F.lit("rules_failed"),
+                F.coalesce("rules_failed", F.lit(0)).cast("string"),
+            ).alias("metrics"),
+        )
+        return joined

@@ -1,0 +1,143 @@
+"""Deterministic in-process image codec, PSNR, and perceptual hash.
+
+The container has no PIL/OpenCV, so the engine ships its own tiny codec
+family with *real* lossless and lossy semantics (stdlib zlib + numpy).
+This is the scaled analog of the reference's binary-lexical validators
+(`base64_binary_validator`, /root/reference/xmlschema/validators/builtins.py:144-155):
+"the bytes decode cleanly and are consistent with their declared metadata".
+
+Formats (all little-endian, 12-byte header ``magic(4s) w(u32) h(u32)`` then
+a format-specific payload):
+
+- ``bmp``  — raw RGB888, uncompressed. Lossless.
+- ``png``  — zlib-compressed raw RGB888. Lossless.
+- ``jpeg`` — uniform quantization with step ``q`` (1 byte after header),
+             zlib-compressed. Lossy; PSNR falls as q grows.
+- ``webp`` — 2× box-downsampled then nearest-upsampled, zlib-compressed.
+             Lossy with spatially-correlated error.
+
+Every function here is numpy-only so the pandas-UDF bodies in
+``operators/multimodal.py`` stay vectorized per Arrow batch (no pickled
+closures beyond this module).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC = {
+    "bmp": b"XBMP",
+    "png": b"XPNG",
+    "jpeg": b"XJPG",
+    "webp": b"XWBP",
+}
+_MAGIC_REV = {v: k for k, v in MAGIC.items()}
+FORMATS = tuple(MAGIC)
+LOSSLESS = frozenset({"bmp", "png"})
+HEADER = struct.Struct("<4sII")
+
+
+def encode_image(pixels: np.ndarray, fmt: str, quality: int = 8) -> bytes:
+    """Encode an (h, w, 3) uint8 array. ``quality`` = quant step for jpeg."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError(f"expected (h, w, 3) uint8, got {pixels.shape} {pixels.dtype}")
+    h, w = pixels.shape[:2]
+    header = HEADER.pack(MAGIC[fmt], w, h)
+    if fmt == "bmp":
+        return header + pixels.tobytes()
+    if fmt == "png":
+        return header + zlib.compress(pixels.tobytes(), 6)
+    if fmt == "jpeg":
+        q = max(1, min(255, int(quality)))
+        quantized = (pixels // q) * q + q // 2
+        return header + bytes([q]) + zlib.compress(quantized.astype(np.uint8).tobytes(), 6)
+    if fmt == "webp":
+        h2, w2 = (h + 1) // 2, (w + 1) // 2
+        # box-downsample 2x (pad odd edges by replication)
+        padded = np.pad(pixels, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+        small = (
+            padded.reshape(h2, 2, w2, 2, 3).mean(axis=(1, 3)).round().astype(np.uint8)
+        )
+        return header + zlib.compress(small.tobytes(), 6)
+    raise ValueError(f"unknown fmt: {fmt}")
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, str]:
+    """Decode to ((h, w, 3) uint8, fmt). Raises ValueError on corruption."""
+    if data is None or len(data) < HEADER.size:
+        raise ValueError("truncated header")
+    magic, w, h = HEADER.unpack_from(data, 0)
+    fmt = _MAGIC_REV.get(magic)
+    if fmt is None:
+        raise ValueError(f"bad magic {magic!r}")
+    body = data[HEADER.size:]
+
+    def _inflate(b: bytes) -> bytes:
+        try:
+            return zlib.decompress(b)
+        except zlib.error as e:
+            raise ValueError(f"corrupt payload: {e}") from e
+
+    if fmt == "bmp":
+        raw = bytes(body)
+    elif fmt == "png":
+        raw = _inflate(body)
+    elif fmt == "jpeg":
+        if not body:
+            raise ValueError("missing quant byte")
+        raw = _inflate(body[1:])
+    elif fmt == "webp":
+        h2, w2 = (h + 1) // 2, (w + 1) // 2
+        raw = _inflate(body)
+        if len(raw) != h2 * w2 * 3:
+            raise ValueError("webp payload size mismatch")
+        small = np.frombuffer(raw, np.uint8).reshape(h2, w2, 3)
+        big = small.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+        return np.ascontiguousarray(big), fmt
+    if len(raw) != h * w * 3:
+        raise ValueError(f"payload size mismatch: {len(raw)} != {h * w * 3}")
+    return np.frombuffer(raw, np.uint8).reshape(h, w, 3).copy(), fmt
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    if a.shape != b.shape:
+        return 0.0
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
+
+
+def _block_mean_gray(pixels: np.ndarray, n: int = 8) -> np.ndarray:
+    """Downsample luma to an n×n grid of block means (any input size)."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    ys = (np.arange(n + 1) * h) // n
+    xs = (np.arange(n + 1) * w) // n
+    out = np.empty((n, n))
+    for i in range(n):
+        for j in range(n):
+            block = gray[ys[i]:max(ys[i + 1], ys[i] + 1), xs[j]:max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = block.mean()
+    return out
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash: 8×8 block-mean luma thresholded at its median.
+
+    Returned as a signed int64 (Spark LongType has no unsigned type).
+    """
+    grid = _block_mean_gray(pixels, 8)
+    bits = (grid > np.median(grid)).flatten()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")

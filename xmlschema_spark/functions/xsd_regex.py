@@ -1,0 +1,155 @@
+"""XSD regular-expression dialect → Java regex (for ``regexp_like``).
+
+The reference translates XSD regexes to *Python* regexes
+(/root/reference/xmlschema/regex.py:249-357). Our predicates execute
+JVM-side in Catalyst's ``RLike``, so we translate to *Java* regex instead,
+applying the same dialect rules:
+
+- **Implicit anchoring** — an XSD pattern must match the whole value
+  (reference anchors with ``^(...)$``, regex.py:352-355). We wrap in
+  ``^(?:...)$``.
+- ``\\i`` / ``\\I`` — XML name-start chars (and complement). Translated to
+  an explicit class (ASCII + the common Latin-1 letter range; full XML 1.0
+  ranges are overkill for tabular data — documented subset).
+- ``\\c`` / ``\\C`` — XML name chars (and complement).
+- **Character-class subtraction** ``[a-z-[aeiou]]`` → Java intersection
+  with negation ``[a-z&&[^aeiou]]`` (reference expands it manually,
+  regex.py:202-246; Java supports it natively).
+- ``\\p{IsXxx}`` Unicode blocks → Java ``\\p{InXxx}``.
+
+Patterns outside this subset raise ``XsdRegexError``; callers fall back to
+a vectorized pandas-UDF with Python ``re`` (still Arrow-batched).
+"""
+
+from __future__ import annotations
+
+import re
+
+I_CLASS = "[:A-Z_a-z\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u02FF]"
+C_CLASS = "[-.0-9:A-Z_a-z\\u00B7\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u037D]"
+_I_INNER = I_CLASS[1:-1]
+_C_INNER = C_CLASS[1:-1]
+
+
+class XsdRegexError(ValueError):
+    """Pattern uses XSD constructs we cannot express in Java regex."""
+
+
+def _translate_class(body: str) -> str:
+    """Translate the inside of a character class, handling ``-[...]``
+    subtraction (recursive per XSD grammar) and ``\\i``/``\\c`` shorthands.
+    """
+    out = []
+    i = 0
+    n = len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = body[i + 1]
+            if nxt == "i":
+                out.append(_I_INNER)
+            elif nxt == "c":
+                out.append(_C_INNER)
+            elif nxt in "IC":
+                raise XsdRegexError(r"\I / \C inside a class is not supported")
+            else:
+                out.append(body[i : i + 2])
+            i += 2
+            continue
+        if ch == "-" and i + 1 < n and body[i + 1] == "[":
+            # class subtraction: the rest must be `[...]` ending the class
+            depth = 0
+            j = i + 1
+            while j < n:
+                if body[j] == "\\":
+                    j += 2
+                    continue
+                if body[j] == "[":
+                    depth += 1
+                elif body[j] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0 or j != n - 1:
+                raise XsdRegexError(f"malformed class subtraction in [{body}]")
+            inner = _translate_class(body[i + 2 : j].lstrip("^"))
+            neg = "^" if not body[i + 2 : j].startswith("^") else ""
+            out.append(f"&&[{neg}{inner}]")
+            i = j + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def xsd_to_java_regex(pattern: str) -> str:
+    """Translate one XSD pattern to an anchored Java regex string."""
+    out = []
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            if nxt == "i":
+                out.append(I_CLASS)
+            elif nxt == "I":
+                out.append(f"[^{_I_INNER}]")
+            elif nxt == "c":
+                out.append(C_CLASS)
+            elif nxt == "C":
+                out.append(f"[^{_C_INNER}]")
+            elif nxt == "p" or nxt == "P":
+                m = re.match(r"\\[pP]\{(Is)?([A-Za-z0-9 _-]+)\}", pattern[i:])
+                if not m:
+                    raise XsdRegexError(f"malformed \\p at {i} in {pattern!r}")
+                name = m.group(2).replace(" ", "").replace("-", "")
+                prefix = "In" if m.group(1) else ""
+                out.append(f"\\{nxt}{{{prefix}{name}}}")
+                i += m.end()
+                continue
+            else:
+                out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if ch == "[":
+            depth = 0
+            j = i
+            while j < n:
+                if pattern[j] == "\\":
+                    j += 2
+                    continue
+                if pattern[j] == "[":
+                    depth += 1
+                elif pattern[j] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise XsdRegexError(f"unterminated class in {pattern!r}")
+            body = pattern[i + 1 : j]
+            neg = ""
+            if body.startswith("^"):
+                neg, body = "^", body[1:]
+            out.append(f"[{neg}{_translate_class(body)}]")
+            i = j + 1
+            continue
+        if ch in "^$" :
+            # XSD regexes have no anchors; ^/$ are literals there.
+            out.append("\\" + ch)
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return f"^(?:{''.join(out)})$"
+
+
+def xsd_patterns_to_java(patterns: list[str]) -> str:
+    """N XSD patterns = match at least one (facets.py:621-624) → one
+    alternation, still fully anchored."""
+    if len(patterns) == 1:
+        return xsd_to_java_regex(patterns[0])
+    alts = "|".join(f"(?:{xsd_to_java_regex(p)[3:-2]})" for p in patterns)
+    return f"^(?:{alts})$"

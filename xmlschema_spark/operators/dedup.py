@@ -1,0 +1,258 @@
+"""Deduplication operators for large-scale text/training-data pipelines.
+
+No direct reference analog (the closest is xs:ID/unique duplicate
+detection, identities.py:198-221, generalized from exact keys to content
+similarity). All variants are shuffle-conscious:
+
+- exact: hash the normalized content, groupBy — two-phase agg, one shuffle.
+- minhash LSH: shingle → k minhashes via built-in ``xxhash64(col, seed)``
+  (fully JVM-side, no UDF) → band hashes → explode bands → self-join on
+  (band, hash) buckets → verified candidate pairs. At 10^12 docs the
+  band-bucket join is the scalable path (no O(n²)); hot buckets (boiler-
+  plate docs) are capped by ``max_bucket_size`` exactly like salting caps
+  hot keys.
+- exact-jaccard verification via an inverted-index join (explode shingles,
+  join on shingle, count common) — still no O(n²).
+- simhash: 64-bit weighted-bit signature via a vectorized pandas UDF
+  (numpy bit ops per Arrow batch), near-dup = small hamming distance.
+- embedding near-dup: cosine ≥ threshold via LSH bucketing or brute force
+  (see similarity.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """Lowercase, collapse whitespace — the whiteSpace-facet 'collapse'
+    normalization (facets.py:96-129) applied as cleanup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) docs → (content_hash, n_docs,
+    doc_ids). One shuffle; map-side partial agg handles skew."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(col, k: int = 5):
+    """Word k-shingles as an array column (JVM-side)."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_signature(shingle_col, num_hashes: int = 64):
+    """k minhash values, each = min over shingles of xxhash64(shingle, seed).
+    Pure built-ins: transform + array_min + xxhash64 — whole-stage codegen,
+    no Python in the hot path."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed)))
+            )
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded minhash LSH →
+    (id_a, id_b, n_shared_bands). rows/band = num_hashes/bands controls the
+    similarity threshold (~ (1/bands)^(1/rows)).
+
+    Scale notes: the only shuffles are the band-bucket groupBy and the
+    pair groupBy. ``max_bucket_size`` drops degenerate buckets (e.g. empty
+    docs / boilerplate) that would otherwise create quadratic pair blowup
+    — the LSH equivalent of hot-key salting, logged as dropped coverage.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes)
+    banded = df.select(F.col(id_col).alias("doc"), sig.alias("sig")).select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.collect_list("doc").alias("docs"))
+        .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket_size))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "docs",
+                        lambda a: F.transform("docs", lambda b: F.struct(a.alias("a"), b.alias("b"))),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_shared_bands"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    max_postings: int = 500,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted-index join
+    (explode shingles → self-join on shingle → |∩| per pair → |∪| from
+    per-doc sizes) → (id_a, id_b, jaccard). No O(n²) cross join; the
+    posting-list cap bounds hot shingles (stopword-only shingles), the
+    same skew treatment as hot keys."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    sizes = sh.select("doc", F.size("sh").alias("n"))
+    posts = sh.select("doc", F.explode("sh").alias("shingle"))
+    # cap pathological posting lists (skew guard)
+    freq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    posts = posts.join(
+        F.broadcast(freq.filter(F.col("df_") > max_postings).select("shingle")),
+        "shingle",
+        "left_anti",
+    )
+    a = posts.alias("a")
+    b = posts.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per doc via a vectorized pandas UDF: token hashes'
+    bits weighted-summed in numpy per Arrow batch → (id, simhash)."""
+
+    import hashlib
+
+    def _tok_hash(tok: str) -> int:
+        # deterministic across executors (builtin hash() is salted per process)
+        return int.from_bytes(
+            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+        )
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            tokens = t.lower().split()
+            if not tokens:
+                continue
+            hashes = np.array([_tok_hash(tok) for tok in tokens], dtype=np.uint64)
+            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            vote = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in np.nonzero(vote > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("doc"), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, chunk_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming ≤ k, found scalably via the
+    pigeonhole trick: split 64 bits into (max_hamming+1) chunks — any pair
+    within hamming k agrees exactly on ≥1 chunk → block on chunk value,
+    verify hamming inside blocks. One explode + one equi-join; no O(n²)."""
+    n_chunks = 64 // chunk_bits
+    if max_hamming >= n_chunks:
+        raise ValueError("need chunks > max_hamming for pigeonhole completeness")
+    sigs = simhash_signatures(df, text_col, id_col)
+    mask = (1 << chunk_bits) - 1
+    chunks = sigs.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask))
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,141 @@
+"""Distribution-drift checks per partition: PSI (pure SQL) and KS
+(grouped-map pandas UDF).
+
+No reference analog — a north-star addition (SURVEY.md §2.8): each
+partition's distribution of a numeric column is compared against a
+reference distribution (by default the whole table's).
+
+- **PSI** is fully expressible in SQL: bucketize → per-partition and
+  reference bucket proportions → Σ (p−q)·ln(p/q). Two shuffles on tiny
+  keys (partition, bucket); scales trivially.
+- **KS** uses ``applyInPandas`` per partition (vectorized numpy, no
+  per-row Python): exact empirical CDF vs a reference CDF evaluated on a
+  quantile grid. Grid is computed once (approx_percentile, one pass) and
+  shipped in the closure — a few hundred floats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_EPS = 1e-6
+
+
+def _bucketize(df: DataFrame, column: str, lo: float, hi: float, bins: int):
+    span = (hi - lo) or 1.0
+    b = F.floor((F.col(column) - F.lit(lo)) / F.lit(span) * bins)
+    return df.withColumn(
+        "__bucket", F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    )
+
+
+def psi(
+    df: DataFrame,
+    column: str,
+    partition_col: str,
+    bins: int = 10,
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """Population Stability Index per partition vs reference
+    → (partition, psi). reference=None ⇒ the whole table."""
+    ref = reference if reference is not None else df
+    lo, hi = df.agg(
+        F.min(column).cast("double"), F.max(column).cast("double")
+    ).first()
+    if lo is None:
+        # empty input / all-null column: nothing to compare — no drift rows
+        return df.sparkSession.createDataFrame(
+            [], f"{partition_col} string, psi double"
+        )
+
+    ref_hist = (
+        _bucketize(ref.select(column).filter(F.col(column).isNotNull()), column, lo, hi, bins)
+        .groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("ref_n"))
+    )
+    # proportion via a 1-row total cross-join (a global window would funnel
+    # the histogram through a single partition)
+    ref_total = ref_hist.agg(F.sum("ref_n").alias("__total"))
+    ref_hist = ref_hist.crossJoin(ref_total).withColumn(
+        "ref_p", F.col("ref_n") / F.col("__total")
+    )
+    part_hist = (
+        _bucketize(
+            df.select(partition_col, column).filter(F.col(column).isNotNull()),
+            column, lo, hi, bins,
+        )
+        .groupBy(partition_col, "__bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    part_hist = part_hist.withColumn(
+        "p", F.col("n") / F.sum("n").over(Window.partitionBy(partition_col))
+    )
+    # (partition × bucket) skeleton so a bucket missing on either side
+    # still contributes its epsilon-vs-mass term to the sum.
+    skeleton = (
+        df.select(partition_col)
+        .distinct()
+        .crossJoin(
+            df.sparkSession.range(bins).select(F.col("id").cast("long").alias("__bucket"))
+        )
+    )
+    joined = (
+        skeleton.join(part_hist, [partition_col, "__bucket"], "left")
+        .join(ref_hist.select("__bucket", "ref_p"), "__bucket", "left")
+    )
+    p = F.coalesce(F.col("p"), F.lit(0.0)) + F.lit(_EPS)
+    q = F.coalesce(F.col("ref_p"), F.lit(0.0)) + F.lit(_EPS)
+    return joined.groupBy(partition_col).agg(
+        F.sum((p - q) * F.log(p / q)).alias("psi")
+    )
+
+
+def ks(
+    df: DataFrame,
+    column: str,
+    partition_col: str,
+    reference: DataFrame | None = None,
+    grid_size: int = 201,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per partition vs reference
+    → (partition, ks, n). Reference CDF evaluated on an approx-quantile
+    grid (single extra pass); per-partition CDF computed exactly inside a
+    grouped-map pandas UDF."""
+    ref = reference if reference is not None else df
+    probs = [i / (grid_size - 1) for i in range(grid_size)]
+    grid = (
+        ref.select(column)
+        .filter(F.col(column).isNotNull())
+        .agg(F.percentile_approx(column, probs, 10_000).alias("q"))
+        .first()["q"]
+    )
+    if grid is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{partition_col} string, ks double, n long"
+        )
+    grid_arr = np.asarray(grid, dtype=np.float64)
+    ref_cdf = np.linspace(0.0, 1.0, grid_size)
+
+    out_schema = f"{partition_col} string, ks double, n long"
+
+    def _ks_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[column].to_numpy(dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if len(vals) == 0:
+            stat = float("nan")
+        else:
+            emp = np.searchsorted(np.sort(vals), grid_arr, side="right") / len(vals)
+            stat = float(np.max(np.abs(emp - ref_cdf)))
+        return pd.DataFrame(
+            {partition_col: [pdf[partition_col].iloc[0]], "ks": [stat], "n": [len(vals)]}
+        )
+
+    return (
+        df.select(partition_col, column)
+        .filter(F.col(column).isNotNull())
+        .groupBy(partition_col)
+        .applyInPandas(_ks_one, schema=out_schema)
+    )

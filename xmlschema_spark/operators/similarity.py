@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk`` — exact brute-force top-k per query: broadcast the query
+  set, JVM-side dot products via ``aggregate``/``zip_with`` (no UDF), then
+  per-query top-k via window row_number. This is the baseline/oracle path;
+  cost is O(n_corpus × n_queries) — fine when queries are a small batch.
+- ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH signatures
+  bucket the corpus; each query probes only its bucket(s). Signatures are
+  computed JVM-side from deterministic per-dimension projection constants.
+- ``embedding_near_duplicates`` — all-pairs cosine ≥ t within LSH buckets
+  (near-dup dedup for embeddings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+    )
+
+
+def with_normalized(df: DataFrame, vec_col: str, out_col: str = "unit") -> DataFrame:
+    n = _norm(F.col(vec_col))
+    return df.withColumn(
+        out_col,
+        F.when(n > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / n)),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query → (query_id, id, cosine, rank).
+
+    Plan shape: broadcast-nested-loop join of a small query batch against
+    the corpus scan, dot product in codegen, then one shuffle for the
+    per-query top-k window. Self-match (same id) is excluded by the caller
+    filtering if desired.
+    """
+    c = with_normalized(corpus.select(F.col(id_col).alias("id"), vec_col), vec_col, "cu")
+    q = with_normalized(
+        queries.select(F.col(query_id_col).alias("query_id"), vec_col), vec_col, "qu"
+    )
+    scored = c.crossJoin(F.broadcast(q.select("query_id", "qu"))).select(
+        "query_id", "id", _dot(F.col("cu"), F.col("qu")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _hyperplane_signature(unit_col, dim: int, n_planes: int, seed: int = 7):
+    """Sign-bit signature against ``n_planes`` fixed random hyperplanes.
+    The projection constants are generated driver-side (deterministic
+    seed) and inlined as literals — evaluated entirely in codegen."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bits = []
+    for p in planes:
+        expr = None
+        proj = F.aggregate(
+            F.zip_with(
+                unit_col,
+                F.array(*[F.lit(float(v)) for v in p]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double"),
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        del expr
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: both sides hashed to hyperplane-sign buckets;
+    candidates = equi-join on bucket (plus Catalyst/AQE handling skewed
+    buckets); exact cosine + top-k inside the candidate set. Recall is
+    tunable by n_planes (fewer planes → bigger buckets → higher recall)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    c = with_normalized(corpus.select(F.col(id_col).alias("id"), vec_col), vec_col, "cu")
+    q = with_normalized(
+        queries.select(F.col(query_id_col).alias("query_id"), vec_col), vec_col, "qu"
+    )
+    c = c.withColumn("bucket", _hyperplane_signature(F.col("cu"), dim, n_planes, seed))
+    q = q.withColumn("bucket", _hyperplane_signature(F.col("qu"), dim, n_planes, seed))
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id", "id", _dot(F.col("cu"), F.col("qu")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold, candidate-limited to same-LSH-bucket
+    pairs → (id_a, id_b, cosine). High thresholds pair with more planes
+    (near-identical vectors share all sign bits with high probability)."""
+    dim = len(df.select(vec_col).first()[0])
+    u = with_normalized(df.select(F.col(id_col).alias("id"), vec_col), vec_col, "u")
+    u = u.withColumn("bucket", _hyperplane_signature(F.col("u"), dim, n_planes, seed))
+    a, b = u.alias("a"), u.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        _dot(F.col("a.u"), F.col("b.u")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,81 @@
+"""Per-column statistics profile — one wide aggregation, single pass.
+
+North-star requirement (BASELINE.json): per-column null rate, min/max,
+distinct estimate (HLL), value histograms. The analog in the reference is
+its Counter-based occurrence bookkeeping (models.py:299, identities.py:199,
+schema.py:989) — generalized to dataset statistics.
+
+Everything is ONE ``df.agg(...)`` with 4–5 expressions per column, so
+Catalyst computes all columns' stats in a single scan with partial
+aggregation executor-side. The long-format reshape afterwards is driver
+work over a 1-row result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+    scope_col: str | None = None,
+) -> DataFrame:
+    """Long-format stats: (scope?, column, n_rows, n_nulls, null_rate,
+    min_value, max_value, n_distinct).
+
+    ``exact_distinct`` uses count(distinct) — for oracle comparison at
+    small scale; default is approx_count_distinct (HLL, one pass, no extra
+    shuffle per column) for the 10^12-row path. min/max are cast to string
+    so heterogeneous columns stack into one long table (binary columns get
+    length-based min/max instead of value min/max).
+    """
+    if columns is None:
+        columns = [f.name for f in df.schema.fields]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        target = F.length(col) if types[c] == "binary" else col
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(target).cast("string").alias(f"{c}__min"),
+            F.max(target).cast("string").alias(f"{c}__max"),
+            (
+                F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col)
+            ).alias(f"{c}__distinct"),
+        ]
+    group = [scope_col] if scope_col else []
+    wide = df.groupBy(*group).agg(*aggs)
+
+    # unpivot to long format via stack — still one underlying aggregation
+    stack_items = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__min, {c}__max, {c}__distinct"
+        for c in columns
+    )
+    stacked = wide.selectExpr(
+        *group,
+        f"stack({len(columns)}, {stack_items}) as "
+        "(column, n_rows, n_nulls, min_value, max_value, n_distinct)",
+    )
+    return stacked.withColumn(
+        "null_rate",
+        F.when(F.col("n_rows") > 0, F.col("n_nulls") / F.col("n_rows")).otherwise(0.0),
+    ).select(
+        *group, "column", "n_rows", "n_nulls", "null_rate",
+        "min_value", "max_value", "n_distinct",
+    )
+
+
+def value_histogram(df: DataFrame, column: str, scope_col: str | None = None) -> DataFrame:
+    """Exact value histogram for a low-cardinality column (e.g. ``fmt``):
+    (scope?, value, n). groupBy → two-phase hash agg; fine for enum-like
+    columns at any scale since output cardinality is bounded."""
+    group = ([F.col(scope_col)] if scope_col else []) + [
+        F.col(column).alias("value")
+    ]
+    return df.groupBy(*group).agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,82 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local mode is a stand-in for a multi-executor cluster: AQE, skew-join
+handling and partial aggregation behave the same way, so plans tuned here
+carry over. Arrow batch size is capped because the ``bytes`` column of the
+image table is MB-scale per row (SURVEY.md §4 item 4).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "xmlschema_spark",
+    cores: int | str = "*",
+    shuffle_partitions: int | None = None,
+    arrow_max_records: int = 256,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` maps to ``local[N]``. ``shuffle_partitions`` defaults to 2×
+    cores locally (on a real cluster you would size it to data volume:
+    ~target 128–256 MB per shuffle partition).
+    """
+    if isinstance(cores, str) and cores != "*":
+        cores = int(cores)
+    n_cores = os.cpu_count() or 8 if cores == "*" else int(cores)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, 2 * n_cores)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records)
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``xmlschema_spark`` importable on executor Python workers.
+
+    The pandas-UDF closures reference this package, so workers must be
+    able to import it regardless of the driver's cwd — the same problem
+    ``spark-submit --py-files xmlschema_spark.zip`` solves on a real
+    cluster. Zips the installed package once per session and addPyFile's
+    it (idempotent: Spark dedups by filename)."""
+    import hashlib
+
+    pkg_dir = Path(__file__).resolve().parent
+    files = sorted(pkg_dir.rglob("*.py"))
+    fingerprint = hashlib.sha256(
+        "".join(f"{p}:{p.stat().st_mtime_ns}:{p.stat().st_size}" for p in files).encode()
+    ).hexdigest()[:12]
+    zip_path = Path(tempfile.gettempdir()) / f"xmlschema_spark_{fingerprint}.zip"
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for py in files:
+                zf.write(py, f"xmlschema_spark/{py.relative_to(pkg_dir)}")
+    spark.sparkContext.addPyFile(str(zip_path))
