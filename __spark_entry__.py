@@ -1,38 +1,767 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship validation pass at sf0.001.
+``queries()`` — one entry per implemented operator family from SURVEY.md §2
+(facet rules, identity constraints, stats, drift, dedup, similarity, text,
+multimodal decode checks).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every SQL-expressible
+query (pandas-UDF / hash-based ops are rows-only checked, as allowed).
+
+Column names are aliased identically on both sides; doubles are rounded
+explicitly so value-hashes are stable across engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xmlschema_spark.engine import ValidationEngine
+from xmlschema_spark.operators import dedup as dedup_ops
+from xmlschema_spark.operators import drift as drift_ops
+from xmlschema_spark.operators import identity as id_ops
+from xmlschema_spark.operators import multimodal as mm_ops
+from xmlschema_spark.operators import similarity as sim_ops
+from xmlschema_spark.operators import stats as stats_ops
+from xmlschema_spark.operators import text as text_ops
+from xmlschema_spark.rules import Rule, RuleSet
+from xmlschema_spark.sources.images import generate_images_df
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# rule suites used by the validation queries (fixed, so oracles can mirror)
+# --------------------------------------------------------------------------
+
+def _orders_rules() -> RuleSet:
+    return RuleSet(
+        [
+            Rule("status_enum", "enumeration", "o_orderstatus", {"values": ["O", "F"]}),
+            Rule("price_min", "min", "o_totalprice", {"value": 2000}),
+            Rule("price_max", "max", "o_totalprice", {"value": 450000}),
+            Rule("prio_pattern", "pattern", "o_orderpriority", {"patterns": ["[1-5]-[A-Z]+"]}),
+            Rule(
+                "price_priority",
+                "assertion_sql",
+                "",
+                {"sql": "o_orderstatus <> 'P' OR o_totalprice <= 400000"},
+            ),
+        ]
+    )
+
+
+def _lineitem_rules() -> RuleSet:
+    return RuleSet(
+        [
+            Rule("qty_max", "max", "l_quantity", {"value": 45}),
+            Rule("disc_max", "max", "l_discount", {"value": 0.08}),
+            Rule("flag_enum", "enumeration", "l_returnflag", {"values": ["A", "N"]}),
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_row_violations_orders(spark, sf_dir):
+    """Full violation rows — the wide single-pass facet projection
+    (enumeration, min/max, pattern, assertion) on orders."""
+    df = _t(spark, sf_dir, "orders")
+    eng = ValidationEngine(_orders_rules(), id_col="o_orderkey", partition_col="o_orderpriority")
+    v = eng.row_violations(df, run_id="r")
+    return v.select("rule_id", "row_id", "column", "value", "reason", "severity")
+
+
+def q_violation_counts_lineitem(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem")
+    eng = ValidationEngine(_lineitem_rules(), id_col="l_orderkey", partition_col="l_returnflag")
+    v = eng.row_violations(df, run_id="r")
+    return v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 0)
+
+
+def q_verdicts_lineitem(spark, sf_dir):
+    """Per-partition PASS/FAIL verdicts (partition scope = l_returnflag)."""
+    df = _t(spark, sf_dir, "lineitem")
+    eng = ValidationEngine(_lineitem_rules(), id_col="l_orderkey", partition_col="l_returnflag")
+    res = eng.validate(df, run_id="r", with_stats=False)
+    return res.verdicts.select(
+        "partition_id", "status", "rows_checked", "violation_count"
+    )
+
+
+def q_strict_mode_first_violation(spark, sf_dir):
+    """strict mode = fail-fast single error (xsdbase.py:698-701 analog)."""
+    df = _t(spark, sf_dir, "orders")
+    eng = ValidationEngine(_orders_rules(), id_col="o_orderkey", partition_col="o_orderpriority")
+    res = eng.validate(df, run_id="r", mode="strict", with_stats=False)
+    return res.violations.select("rule_id", "severity")
+
+
+def q_unique_dups_part(spark, sf_dir):
+    """xs:unique duplicate detection: one row per duplicated VALUE
+    (identities.py:217-221 semantics)."""
+    df = _t(spark, sf_dir, "part")
+    return id_ops.duplicate_values(df, ["p_brand", "p_size"])
+
+
+def q_unique_dups_scoped(spark, sf_dir):
+    """Partition-scoped uniqueness (reference per-subtree scope analog)."""
+    df = _t(spark, sf_dir, "lineitem")
+    return id_ops.duplicate_values(df, ["l_orderkey"], scope_col="l_returnflag")
+
+
+def q_unique_dups_salted(spark, sf_dir):
+    """Same result via the explicit two-phase salted aggregation (hot-key
+    path for 10^12-row scale) — must agree exactly with the unsalted plan."""
+    df = _t(spark, sf_dir, "lineitem")
+    return id_ops.duplicate_values(df, ["l_orderkey"], salt_partitions=8)
+
+
+def q_keyref_orphans(spark, sf_dir):
+    """xs:keyref referential integrity as a left-anti join: lineitem rows
+    whose part is missing from a restricted part dimension."""
+    li = _t(spark, sf_dir, "lineitem")
+    pk = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 45)
+    orphans = id_ops.keyref_orphans(li, ["l_partkey"], pk, ["p_partkey"], broadcast_pk=True)
+    return orphans.select("l_orderkey", "l_linenumber", "l_partkey")
+
+
+def q_key_nulls_orders(spark, sf_dir):
+    """xs:key required-field check (identities.py:140-141): null key fields."""
+    df = _t(spark, sf_dir, "orders").withColumn(
+        "opri", F.expr("nullif(o_orderpriority, '1-URGENT')")
+    )
+    nulls = id_ops.key_null_rows(df, ["opri"], "o_orderkey")
+    return nulls.select(
+        F.col("row_id").cast("string").alias("row_id"),
+        F.concat_ws(",", "null_columns").alias("null_columns"),
+    )
+
+
+def q_stats_profile_customer(spark, sf_dir):
+    """Single-pass per-column stats: count / nulls / min / max / distinct."""
+    df = _t(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    prof = stats_ops.profile(df, cols, exact_distinct=True)
+    return prof.select(
+        "column", "n_rows", "n_nulls",
+        F.round("null_rate", 6).alias("null_rate"),
+        "min_value", "max_value", "n_distinct",
+    )
+
+
+def q_histogram_mktsegment(spark, sf_dir):
+    df = _t(spark, sf_dir, "customer")
+    return stats_ops.value_histogram(df, "c_mktsegment")
+
+
+def q_psi_drift_events(spark, sf_dir):
+    """PSI distribution drift of `value` per event_type vs whole table."""
+    df = _t(spark, sf_dir, "events")
+    scores = drift_ops.psi(df, "value", "event_type", bins=10)
+    return scores.select("event_type", F.round("psi", 3).alias("psi"))
+
+
+def q_ks_drift_events(spark, sf_dir):
+    """KS drift via applyInPandas (non-SQL-expressible: no oracle)."""
+    df = _t(spark, sf_dir, "events")
+    scores = drift_ops.ks(df, "value", "event_type")
+    return scores.select("event_type", F.round("ks", 3).alias("ks"), "n")
+
+
+def q_doc_rule_counts(spark, sf_dir):
+    """length / enumeration / fixed / pattern / assertion facets on documents."""
+    rs = RuleSet(
+        [
+            Rule("text_minlen", "min_length", "text", {"value": 100}),
+            Rule("lang_enum", "enumeration", "lang", {"values": ["en", "de", "fr", "es"]}),
+            Rule("lang_fixed", "fixed", "lang", {"value": "en"}),
+            Rule("src_pattern", "pattern", "source", {"patterns": ["src[0-9]"]}),
+            Rule("nchars_assert", "assertion_sql", "", {"sql": "n_chars <= 500"}),
+        ]
+    )
+    df = _t(spark, sf_dir, "documents")
+    eng = ValidationEngine(rs, id_col="doc_id", partition_col="lang")
+    v = eng.row_violations(df, run_id="r")
+    return v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 0)
+
+
+def q_gated_rule_docs(spark, sf_dir):
+    """Conditionally-applied rule (type-alternatives / CTA analog,
+    elements.py:778-792): max_length fires only where lang='zh'."""
+    rs = RuleSet([Rule("zh_len", "max_length", "text", {"value": 220}, gate="lang = 'zh'")])
+    df = _t(spark, sf_dir, "documents")
+    eng = ValidationEngine(rs, id_col="doc_id", partition_col="lang")
+    return eng.row_violations(df, run_id="r").select("rule_id", "row_id", "reason", "severity")
+
+
+def q_occurs_words_docs(spark, sf_dir):
+    """Occurrence/cardinality rule on an array column (minOccurs/maxOccurs
+    analog, xsdbase.py:783-787)."""
+    rs = RuleSet([Rule("word_occurs", "occurs", "words", {"min": 40, "max": 80})])
+    df = _t(spark, sf_dir, "documents").withColumn("words", F.split(F.col("text"), " "))
+    eng = ValidationEngine(rs, id_col="doc_id", partition_col="lang")
+    return eng.row_violations(df, run_id="r").select("rule_id", "row_id", "severity")
+
+
+def q_digits_lineitem(spark, sf_dir):
+    """totalDigits / fractionDigits facets on a decimal column."""
+    rs = RuleSet(
+        [
+            Rule("td7", "total_digits", "price_dec", {"value": 7}),
+            Rule("fd1", "fraction_digits", "price_dec", {"value": 1}),
+        ]
+    )
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "price_dec", F.col("l_extendedprice").cast("decimal(12,2)")
+    )
+    eng = ValidationEngine(rs, id_col="l_orderkey", partition_col="l_returnflag")
+    v = eng.row_violations(df, run_id="r")
+    return v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 0)
+
+
+def q_type_cast_events(spark, sf_dir):
+    """Lexical type check via try_cast (to_python decoder analog,
+    builtins.py:219-247): cast-null ⇒ type violation."""
+    rs = RuleSet([Rule("k_int", "type", "maybe_num", {"type": "int"})])
+    df = _t(spark, sf_dir, "events").withColumn(
+        "maybe_num",
+        F.expr("CASE WHEN event_id % 7 = 0 THEN event_type ELSE CAST(event_id AS STRING) END"),
+    )
+    eng = ValidationEngine(rs, id_col="event_id", partition_col="event_type")
+    v = eng.row_violations(df, run_id="r")
+    return v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    """Exact dedup groups by normalized-content hash."""
+    df = _t(spark, sf_dir, "documents").withColumn("snippet", F.substring("text", 1, 30))
+    groups = dedup_ops.exact_duplicates(df, "snippet", "doc_id")
+    return groups.select(
+        "content_hash", "n_docs",
+        F.array_min("doc_ids").alias("min_doc_id"),
+        F.array_max("doc_ids").alias("max_doc_id"),
+    )
+
+
+def q_token_counts_docs(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id", text_ops.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+
+
+def q_lang_pred_counts(spark, sf_dir):
+    """Heuristic language-ID histogram (stopword overlap + CJK range)."""
+    df = _t(spark, sf_dir, "documents")
+    return (
+        df.select(text_ops.detect_language(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_quality_docs(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    q = text_ops.quality_score(df, "text", "doc_id")
+    return q.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("mean_word_len", 4).alias("mean_word_len"),
+        F.round("quality_score", 4).alias("quality_score"),
+    )
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    """Winnowing-style doc fingerprint (xxhash64 — not oracle-expressible)."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", text_ops.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_minhash_pairs_docs(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (banded xxhash64 signatures)."""
+    df = _t(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_candidates(df, "text", "doc_id", num_hashes=32, bands=16)
+
+
+def q_simhash_dups_docs(spark, sf_dir):
+    """SimHash near-dups via pigeonhole chunk blocking."""
+    df = _t(spark, sf_dir, "documents")
+    return dedup_ops.simhash_near_duplicates(df, "text", "doc_id", max_hamming=3)
+
+
+def q_jaccard_pairs_docs(spark, sf_dir):
+    """Exact n-gram Jaccard similarity via inverted-index join."""
+    df = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.jaccard_pairs(df, "text", "doc_id", threshold=0.05, shingle_k=3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_cosine_topk_embeddings(spark, sf_dir):
+    """Exact brute-force cosine top-k (ANN baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    topk = sim_ops.cosine_topk(emb, queries, "vec_id", "embedding", "vec_id", k=5)
+    return topk.select(
+        "query_id", "id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """All-pairs cosine ≥ t (exact; LSH-bucketed variant used at scale)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    u = sim_ops.with_normalized(emb.select(F.col("vec_id").alias("id"), "embedding"), "embedding", "u")
+    a, b = u.alias("a"), u.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.aggregate(
+            F.zip_with(F.col("a.u"), F.col("b.u"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= 0.4).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_image_suite_verdicts(spark, sf_dir):
+    """Full constraint suite (incl. pandas-UDF decode/phash checks) on the
+    deterministic synthetic image+caption table — per-partition verdicts."""
+    from xmlschema_spark.sources.rules_loader import default_image_ruleset
+
+    df = generate_images_df(
+        spark, 240, seed=11, n_parts=6,
+        null_frac=0.05, bad_dims_frac=0.05, corrupt_frac=0.05, dup_id_frac=0.05,
+    )
+    eng = ValidationEngine(default_image_ruleset())
+    res = eng.validate(df, run_id="img", with_stats=False)
+    return res.verdicts.select("partition_id", "status", "rows_checked", "violation_count")
+
+
+def q_image_decode_stats(spark, sf_dir):
+    """Decode / dims / PSNR / phash invariant counts over Arrow batches."""
+    df = generate_images_df(spark, 200, seed=13, corrupt_frac=0.1, bad_dims_frac=0.1)
+    checks = mm_ops.decode_check(df)
+    return checks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decode_ok"),
+        F.sum(F.col("dims_match").cast("long")).alias("n_dims_match"),
+        F.sum(F.col("psnr_ok").cast("long")).alias("n_psnr_ok"),
+        F.sum(F.col("phash_match").cast("long")).alias("n_phash_match"),
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style wide aggregation (general agg capability check)."""
+    df = _t(spark, sf_dir, "lineitem")
+    return (
+        df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_orders_per_segment(spark, sf_dir):
+    """Broadcast dim join + per-group top-k window (violation-sample
+    pattern, SURVEY.md §2.7)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == cust.c_custkey,
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rank")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full facet + identity validation of lineitem at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    df = _t(spark, sf_dir, "lineitem")
+    eng = ValidationEngine(_lineitem_rules(), id_col="l_orderkey", partition_col="l_returnflag")
+    res = eng.validate(df, run_id="flagship", with_stats=False)
+    return res.verdicts.select("partition_id", "status", "rows_checked", "violation_count")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "row_violations_orders": q_row_violations_orders,
+        "violation_counts_lineitem": q_violation_counts_lineitem,
+        "verdicts_lineitem": q_verdicts_lineitem,
+        "strict_mode_first_violation": q_strict_mode_first_violation,
+        "unique_dups_part": q_unique_dups_part,
+        "unique_dups_scoped": q_unique_dups_scoped,
+        "unique_dups_salted": q_unique_dups_salted,
+        "keyref_orphans": q_keyref_orphans,
+        "key_nulls_orders": q_key_nulls_orders,
+        "stats_profile_customer": q_stats_profile_customer,
+        "histogram_mktsegment": q_histogram_mktsegment,
+        "psi_drift_events": q_psi_drift_events,
+        "ks_drift_events": q_ks_drift_events,
+        "doc_rule_counts": q_doc_rule_counts,
+        "gated_rule_docs": q_gated_rule_docs,
+        "occurs_words_docs": q_occurs_words_docs,
+        "digits_lineitem": q_digits_lineitem,
+        "type_cast_events": q_type_cast_events,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "token_counts_docs": q_token_counts_docs,
+        "lang_pred_counts": q_lang_pred_counts,
+        "quality_docs": q_quality_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "minhash_pairs_docs": q_minhash_pairs_docs,
+        "simhash_dups_docs": q_simhash_dups_docs,
+        "jaccard_pairs_docs": q_jaccard_pairs_docs,
+        "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "embedding_near_dups": q_embedding_near_dups,
+        "image_suite_verdicts": q_image_suite_verdicts,
+        "image_decode_stats": q_image_decode_stats,
+        "pricing_summary": q_pricing_summary,
+        "top_orders_per_segment": q_top_orders_per_segment,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "row_violations_orders": """
+WITH v AS (
+  SELECT 'status_enum' AS rule_id, CAST(o_orderkey AS VARCHAR) AS row_id,
+         'o_orderstatus' AS "column", o_orderstatus AS value,
+         'value of ''o_orderstatus'' not in enumeration' AS reason, 'error' AS severity
+  FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
+  UNION ALL
+  SELECT 'price_min', CAST(o_orderkey AS VARCHAR), 'o_totalprice', CAST(o_totalprice AS VARCHAR),
+         'value of ''o_totalprice'' < 2000', 'error'
+  FROM orders WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice >= 2000)
+  UNION ALL
+  SELECT 'price_max', CAST(o_orderkey AS VARCHAR), 'o_totalprice', CAST(o_totalprice AS VARCHAR),
+         'value of ''o_totalprice'' > 450000', 'error'
+  FROM orders WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice <= 450000)
+  UNION ALL
+  SELECT 'prio_pattern', CAST(o_orderkey AS VARCHAR), 'o_orderpriority', o_orderpriority,
+         'value of ''o_orderpriority'' does not match pattern(s)', 'error'
+  FROM orders WHERE o_orderpriority IS NOT NULL
+    AND NOT regexp_full_match(o_orderpriority, '(?:[1-5]-[A-Z]+)')
+  UNION ALL
+  SELECT 'price_priority', CAST(o_orderkey AS VARCHAR), '', NULL,
+         'assertion failed: o_orderstatus <> ''P'' OR o_totalprice <= 400000', 'error'
+  FROM orders WHERE NOT coalesce(o_orderstatus <> 'P' OR o_totalprice <= 400000, FALSE)
+)
+SELECT * FROM v
+""",
+        "violation_counts_lineitem": """
+SELECT * FROM (
+  SELECT 'qty_max' AS rule_id, count(*)::BIGINT AS n FROM lineitem
+   WHERE l_quantity IS NOT NULL AND NOT (l_quantity <= 45)
+  UNION ALL
+  SELECT 'disc_max', count(*)::BIGINT FROM lineitem
+   WHERE l_discount IS NOT NULL AND NOT (l_discount <= 0.08)
+  UNION ALL
+  SELECT 'flag_enum', count(*)::BIGINT FROM lineitem
+   WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N')
+) WHERE n > 0
+""",
+        "verdicts_lineitem": """
+SELECT l_returnflag AS partition_id,
+       CASE WHEN SUM(CASE WHEN NOT (l_quantity <= 45) THEN 1 ELSE 0 END
+                 + CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END
+                 + CASE WHEN l_returnflag NOT IN ('A','N') THEN 1 ELSE 0 END) > 0
+            THEN 'FAIL' ELSE 'PASS' END AS status,
+       count(*)::BIGINT AS rows_checked,
+       SUM(CASE WHEN NOT (l_quantity <= 45) THEN 1 ELSE 0 END
+         + CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END
+         + CASE WHEN l_returnflag NOT IN ('A','N') THEN 1 ELSE 0 END)::BIGINT AS violation_count
+FROM lineitem GROUP BY l_returnflag
+""",
+        "unique_dups_part": """
+SELECT p_brand, p_size, count(*)::BIGINT AS dup_count
+FROM part WHERE p_brand IS NOT NULL AND p_size IS NOT NULL
+GROUP BY p_brand, p_size HAVING count(*) > 1
+""",
+        "unique_dups_scoped": """
+SELECT l_returnflag, l_orderkey, count(*)::BIGINT AS dup_count
+FROM lineitem WHERE l_orderkey IS NOT NULL
+GROUP BY l_returnflag, l_orderkey HAVING count(*) > 1
+""",
+        "unique_dups_salted": """
+SELECT l_orderkey, count(*)::BIGINT AS dup_count
+FROM lineitem WHERE l_orderkey IS NOT NULL
+GROUP BY l_orderkey HAVING count(*) > 1
+""",
+        "keyref_orphans": """
+SELECT l.l_orderkey, l.l_linenumber, l.l_partkey
+FROM lineitem l
+WHERE l.l_partkey IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part p WHERE p.p_size <= 45 AND p.p_partkey = l.l_partkey
+  )
+""",
+        "key_nulls_orders": """
+SELECT CAST(o_orderkey AS VARCHAR) AS row_id, 'opri' AS null_columns
+FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+        "stats_profile_customer": """
+SELECT 'c_custkey' AS "column", count(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       round(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)::DOUBLE AS null_rate,
+       CAST(min(c_custkey) AS VARCHAR) AS min_value, CAST(max(c_custkey) AS VARCHAR) AS max_value,
+       count(DISTINCT c_custkey)::BIGINT AS n_distinct
+FROM customer
+UNION ALL
+SELECT 'c_name', count(*)::BIGINT,
+       SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       round(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)::DOUBLE,
+       CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR),
+       count(DISTINCT c_name)::BIGINT
+FROM customer
+UNION ALL
+SELECT 'c_nationkey', count(*)::BIGINT,
+       SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       round(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)::DOUBLE,
+       CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR),
+       count(DISTINCT c_nationkey)::BIGINT
+FROM customer
+UNION ALL
+SELECT 'c_mktsegment', count(*)::BIGINT,
+       SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       round(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)::DOUBLE,
+       CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR),
+       count(DISTINCT c_mktsegment)::BIGINT
+FROM customer
+""",
+        "histogram_mktsegment": """
+SELECT c_mktsegment AS value, count(*)::BIGINT AS n FROM customer GROUP BY c_mktsegment
+""",
+        "psi_drift_events": """
+WITH bounds AS (
+  SELECT min(value)::DOUBLE AS lo, max(value)::DOUBLE AS hi FROM events
+),
+bucketed AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(floor((value - lo) / (CASE WHEN hi - lo = 0 THEN 1.0 ELSE hi - lo END) * 10) AS BIGINT), 0), 9) AS b
+  FROM events, bounds WHERE value IS NOT NULL
+),
+ref_hist AS (
+  SELECT b, count(*)::DOUBLE / (SELECT count(*) FROM bucketed) AS ref_p
+  FROM bucketed GROUP BY b
+),
+part_hist AS (
+  SELECT event_type, b, count(*)::DOUBLE AS n FROM bucketed GROUP BY event_type, b
+),
+part_p AS (
+  SELECT event_type, b, n / SUM(n) OVER (PARTITION BY event_type) AS p FROM part_hist
+),
+skeleton AS (
+  SELECT DISTINCT e.event_type, g.b
+  FROM events e, (SELECT unnest(generate_series(0, 9)) AS b) g
+)
+SELECT s.event_type,
+       round(SUM((coalesce(p.p, 0) + 1e-6 - (coalesce(r.ref_p, 0) + 1e-6))
+                 * ln((coalesce(p.p, 0) + 1e-6) / (coalesce(r.ref_p, 0) + 1e-6))), 3) AS psi
+FROM skeleton s
+LEFT JOIN part_p p ON p.event_type = s.event_type AND p.b = s.b
+LEFT JOIN ref_hist r ON r.b = s.b
+GROUP BY s.event_type
+""",
+        "doc_rule_counts": """
+SELECT * FROM (
+  SELECT 'text_minlen' AS rule_id, count(*)::BIGINT AS n FROM documents
+   WHERE text IS NOT NULL AND NOT (length(text) >= 100)
+  UNION ALL
+  SELECT 'lang_enum', count(*)::BIGINT FROM documents
+   WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+  UNION ALL
+  SELECT 'lang_fixed', count(*)::BIGINT FROM documents
+   WHERE lang IS NOT NULL AND lang <> 'en'
+  UNION ALL
+  SELECT 'src_pattern', count(*)::BIGINT FROM documents
+   WHERE source IS NOT NULL AND NOT regexp_full_match(source, '(?:src[0-9])')
+  UNION ALL
+  SELECT 'nchars_assert', count(*)::BIGINT FROM documents
+   WHERE NOT coalesce(n_chars <= 500, FALSE)
+) WHERE n > 0
+""",
+        "gated_rule_docs": """
+SELECT 'zh_len' AS rule_id, CAST(doc_id AS VARCHAR) AS row_id,
+       'length of ''text'' > 220 [where lang = ''zh'']' AS reason, 'error' AS severity
+FROM documents WHERE lang = 'zh' AND text IS NOT NULL AND NOT (length(text) <= 220)
+""",
+        "occurs_words_docs": """
+SELECT 'word_occurs' AS rule_id, CAST(doc_id AS VARCHAR) AS row_id, 'error' AS severity
+FROM documents
+WHERE text IS NOT NULL
+  AND NOT (len(string_split(text, ' ')) BETWEEN 40 AND 80)
+""",
+        "digits_lineitem": """
+WITH d AS (
+  SELECT l_orderkey, CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS s
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 'td7' AS rule_id, count(*)::BIGINT AS n FROM d
+   WHERE NOT (length(regexp_replace(regexp_replace(regexp_replace(s, '[-.]', '', 'g'), '0+$', ''), '^0+', '')) <= 7)
+  UNION ALL
+  SELECT 'fd1', count(*)::BIGINT FROM d
+   WHERE NOT ((CASE WHEN contains(s, '.')
+               THEN length(regexp_replace(split_part(s, '.', 2), '0+$', ''))
+               ELSE 0 END) <= 1)
+) WHERE n > 0
+""",
+        "type_cast_events": """
+SELECT 'k_int' AS rule_id, count(*)::BIGINT AS n
+FROM events WHERE event_id % 7 = 0 AND TRY_CAST(event_type AS INTEGER) IS NULL
+""",
+        "exact_dedup_docs": """
+SELECT md5(trim(regexp_replace(lower(substring(text, 1, 30)), '\\s+', ' ', 'g'))) AS content_hash,
+       count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+        "token_counts_docs": """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}'']+'),
+                       x -> length(x) > 0))::BIGINT AS n_tokens
+FROM documents
+""",
+        "lang_pred_counts": """
+WITH scored AS (
+  SELECT text,
+    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}'']+'), x -> length(x) > 0) AS toks,
+    len(list_intersect(toks, ['the','a','of','and','to','in','is','it','that','for'])) AS s_en,
+    len(list_intersect(toks, ['der','die','das','und','ist','ein','zu','mit','von','nicht'])) AS s_de,
+    len(list_intersect(toks, ['le','la','les','et','est','un','une','de','que','pour'])) AS s_fr,
+    len(list_intersect(toks, ['el','la','los','y','es','un','una','de','que','por'])) AS s_es
+  FROM documents
+),
+best AS (
+  SELECT text, s_en, s_de, s_fr, s_es,
+    CASE WHEN s_de > s_en THEN 'de' ELSE 'en' END AS b2,
+    CASE WHEN s_de > s_en THEN s_de ELSE s_en END AS v2,
+    CASE WHEN s_fr > v2 THEN 'fr' ELSE b2 END AS b3,
+    CASE WHEN s_fr > v2 THEN s_fr ELSE v2 END AS v3,
+    CASE WHEN s_es > v3 THEN 'es' ELSE b3 END AS b4,
+    CASE WHEN s_es > v3 THEN s_es ELSE v3 END AS v4
+  FROM scored
+)
+SELECT CASE WHEN text IS NULL THEN NULL
+            WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+            WHEN v4 > 0 THEN b4 ELSE 'und' END AS pred_lang,
+       count(*)::BIGINT AS n
+FROM best GROUP BY 1
+""",
+        "quality_docs": """
+WITH f AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}'']+'), x -> length(x) > 0) AS toks,
+    len(toks) AS n_tokens,
+    GREATEST(length(text), 1) AS safe_chars,
+    GREATEST(len(toks), 1) AS safe_toks,
+    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) AS n_punct,
+    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS n_digit,
+    list_sum(list_transform(toks, x -> length(x))) AS sum_len
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n_chars, n_tokens,
+    (n_punct * 1.0 / safe_chars) AS punct_ratio,
+    (n_digit * 1.0 / safe_chars) AS digit_ratio,
+    (coalesce(sum_len, 0) * 1.0 / safe_toks) AS mean_word_len
+  FROM f
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
+  round(mean_word_len, 4) AS mean_word_len,
+  round(LEAST(n_tokens / 20.0, 1.0) * 0.4
+      + (1 - LEAST(punct_ratio * 4, 1.0)) * 0.2
+      + (1 - LEAST(digit_ratio * 4, 1.0)) * 0.2
+      + CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 0.2 ELSE 0.0 END, 4) AS quality_score
+FROM g
+""",
+        "jaccard_pairs_docs": """
+WITH toks AS (
+  SELECT doc_id AS doc,
+    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                x -> length(x) > 0) AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc,
+    CASE WHEN len(words) >= 3
+         THEN list_distinct(list_transform(generate_series(1, len(words) - 2),
+                                           i -> array_to_string(words[i:i+2], ' ')))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM toks
+),
+sizes AS (SELECT doc, len(shingles) AS n FROM sh),
+posts AS (SELECT doc, unnest(shingles) AS shingle FROM sh),
+capped AS (
+  SELECT * FROM posts WHERE shingle NOT IN (
+    SELECT shingle FROM posts GROUP BY shingle HAVING count(*) > 500
+  )
+),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*)::BIGINT AS i
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.05
+""",
+        "cosine_topk_embeddings": """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS id,
+         list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine
+  FROM embeddings c, embeddings q WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, id, round(cosine, 4) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+""",
+        "embedding_near_dups": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "top_orders_per_segment": """
+WITH ranked AS (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rank
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+""",
+    }
