@@ -239,6 +239,18 @@ def q_type_cast_events(spark, sf_dir):
     return v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_whitespace_docs(spark, sf_dir):
+    """whiteSpace facet as a check: value must be collapse-normalized
+    (facets.py:96-129 analog). A derived column injects denormalized rows."""
+    rs = RuleSet([Rule("ws_collapse", "whitespace", "padded", {"mode": "collapse"})])
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "padded",
+        F.expr("CASE WHEN doc_id % 5 = 0 THEN concat('  ', text) ELSE text END"),
+    )
+    eng = ValidationEngine(rs, id_col="doc_id", partition_col="lang")
+    return eng.row_violations(df, run_id="r").select("rule_id", "row_id", "severity")
+
+
 def q_exact_dedup_docs(spark, sf_dir):
     """Exact dedup groups by normalized-content hash."""
     df = _t(spark, sf_dir, "documents").withColumn("snippet", F.substring("text", 1, 30))
@@ -298,9 +310,13 @@ def q_simhash_dups_docs(spark, sf_dir):
 
 
 def q_jaccard_pairs_docs(spark, sf_dir):
-    """Exact n-gram Jaccard similarity via inverted-index join."""
+    """Exact n-gram Jaccard similarity via inverted-index join. k=4 with a
+    tight posting cap: the synthetic corpus draws from a tiny vocabulary,
+    so short shingles are near-universal and explode the candidate set."""
     df = _t(spark, sf_dir, "documents")
-    pairs = dedup_ops.jaccard_pairs(df, "text", "doc_id", threshold=0.05, shingle_k=3)
+    pairs = dedup_ops.jaccard_pairs(
+        df, "text", "doc_id", threshold=0.2, shingle_k=4, max_postings=200
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -420,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "occurs_words_docs": q_occurs_words_docs,
         "digits_lineitem": q_digits_lineitem,
         "type_cast_events": q_type_cast_events,
+        "whitespace_docs": q_whitespace_docs,
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_counts_docs": q_token_counts_docs,
         "lang_pred_counts": q_lang_pred_counts,
@@ -627,6 +644,12 @@ SELECT * FROM (
 SELECT 'k_int' AS rule_id, count(*)::BIGINT AS n
 FROM events WHERE event_id % 7 = 0 AND TRY_CAST(event_type AS INTEGER) IS NULL
 """,
+        "whitespace_docs": """
+SELECT 'ws_collapse' AS rule_id, CAST(doc_id AS VARCHAR) AS row_id, 'error' AS severity
+FROM documents
+WHERE doc_id % 5 = 0
+  AND concat('  ', text) <> trim(regexp_replace(concat('  ', text), '\\s+', ' ', 'g'))
+""",
         "exact_dedup_docs": """
 SELECT md5(trim(regexp_replace(lower(substring(text, 1, 30)), '\\s+', ' ', 'g'))) AS content_hash,
        count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
@@ -701,9 +724,9 @@ WITH toks AS (
 ),
 sh AS (
   SELECT doc,
-    CASE WHEN len(words) >= 3
-         THEN list_distinct(list_transform(generate_series(1, len(words) - 2),
-                                           i -> array_to_string(words[i:i+2], ' ')))
+    CASE WHEN len(words) >= 4
+         THEN list_distinct(list_transform(generate_series(1, len(words) - 3),
+                                           i -> array_to_string(words[i:i+3], ' ')))
          ELSE [array_to_string(words, ' ')] END AS shingles
   FROM toks
 ),
@@ -711,7 +734,7 @@ sizes AS (SELECT doc, len(shingles) AS n FROM sh),
 posts AS (SELECT doc, unnest(shingles) AS shingle FROM sh),
 capped AS (
   SELECT * FROM posts WHERE shingle NOT IN (
-    SELECT shingle FROM posts GROUP BY shingle HAVING count(*) > 500
+    SELECT shingle FROM posts GROUP BY shingle HAVING count(*) > 200
   )
 ),
 inter AS (
@@ -723,7 +746,7 @@ SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc = id_a
 JOIN sizes sb ON sb.doc = id_b
-WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.05
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
 """,
         "cosine_topk_embeddings": """
 WITH scored AS (

@@ -1,0 +1,110 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Runs the headline operator queries from ``__spark_entry__`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32), plus the full image
+constraint-suite throughput (the BASELINE.json metric: validated
+images/sec) on a deterministic synthetic image table.
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., "images_per_sec": ...}
+
+Execution is forced with a noop-format write so every column of every
+plan is actually computed (a bare count() would let Catalyst prune the
+expensive projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entry
+from xmlschema_spark.engine import ValidationEngine
+from xmlschema_spark.session import get_spark
+from xmlschema_spark.sources.images import generate_images_df
+from xmlschema_spark.sources.rules_loader import default_image_ruleset
+
+BENCH_QUERIES = [
+    "row_violations_orders",      # wide single-pass facet projection
+    "violation_counts_lineitem",  # facet pass + agg
+    "verdicts_lineitem",          # full validate + verdict assembly
+    "unique_dups_salted",         # two-phase salted uniqueness agg
+    "unique_dups_scoped",         # partition-scoped uniqueness
+    "keyref_orphans",             # broadcast left-anti referential join
+    "stats_profile_customer",     # single-pass wide stats agg
+    "psi_drift_events",           # SQL-only drift
+    "ks_drift_events",            # applyInPandas drift
+    "exact_dedup_docs",           # hash-groupBy dedup
+    "minhash_pairs_docs",         # minhash LSH band join
+    "simhash_dups_docs",          # pandas-UDF simhash + pigeonhole join
+    "jaccard_pairs_docs",         # inverted-index exact jaccard
+    "cosine_topk_embeddings",     # brute-force ANN baseline
+    "token_counts_docs",          # JVM-side text analysis
+    "quality_docs",               # quality scoring
+    "pricing_summary",            # general wide aggregation
+    "top_orders_per_segment",     # broadcast join + top-k window
+]
+
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "20000"))
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", cores=cpus)
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- headline: full constraint-suite pass over the image+caption table
+    df = generate_images_df(
+        spark, N_IMAGES, seed=99, n_parts=64,
+        null_frac=0.02, bad_dims_frac=0.02, corrupt_frac=0.02, dup_id_frac=0.02,
+        min_side=64, max_side=96,  # production-like payloads: decode-bound
+    )
+    df = df.cache()
+    df.count()  # materialize input outside the timed window
+    eng = ValidationEngine(default_image_ruleset())
+    t0 = time.time()
+    res = eng.validate(df, run_id="bench", with_stats=True)
+    _force(res.violations)
+    _force(res.verdicts)
+    _force(res.stats)
+    suite_sec = time.time() - t0
+    timings["image_constraint_suite"] = round(suite_sec, 3)
+    df.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "validation+pipeline operator suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "images_per_sec": round(N_IMAGES / suite_sec, 1),
+                "n_images": N_IMAGES,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Kill-and-resume correctness (FIXTURES.md `resume_midrun`): an
+interrupted run resumes exactly — identical final verdicts/violations,
+no duplicated violation rows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschema_spark.checkpoint import CheckpointedRun
+from xmlschema_spark.engine import ValidationEngine
+from xmlschema_spark.rules import Rule, RuleSet
+from xmlschema_spark.sources.images import generate_images_df
+
+
+def _ruleset() -> RuleSet:
+    return RuleSet(
+        [
+            Rule("fmt_enum", "enumeration", "fmt", {"values": ["png", "jpeg", "webp", "bmp"]}),
+            Rule("cap_len", "max_length", "caption", {"value": 512}),
+            Rule("id_unique", "unique", "", {"columns": ["image_id"]}, scope="table"),
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    d = generate_images_df(
+        spark, 160, seed=5, n_parts=8, bad_fmt_frac=0.05,
+        long_caption_frac=0.05, dup_id_frac=0.05, distributed=False,
+    )
+    d.cache().count()
+    return d
+
+
+def _viol_set(run, spark):
+    return {
+        (r.partition_id, r.rule_id, r.row_id)
+        for r in run.violations(spark).collect()
+    }
+
+
+def test_resume_matches_uninterrupted(spark, df, tmp_path):
+    eng = ValidationEngine(_ruleset())
+
+    # uninterrupted golden run
+    gold = CheckpointedRun(eng, str(tmp_path / "gold"), "run1")
+    gold.run(df, batch_size=3)
+    gold.finish(df)
+    golden = _viol_set(gold, spark)
+
+    # interrupted: dies after 1 of 3 batches
+    broken = CheckpointedRun(eng, str(tmp_path / "broken"), "run1")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        broken.run(df, batch_size=3, fail_after_batches=1)
+    state = broken._load_state()
+    done_after_crash = {p for p, s in state.items() if s["status"] == "DONE"}
+    assert 0 < len(done_after_crash) < 8
+
+    # resume: only pending partitions reprocessed; result identical
+    broken.run(df, batch_size=3)
+    broken.finish(df)
+    assert _viol_set(broken, spark) == golden
+
+    # no duplicated violation rows after resume
+    v = broken.violations(spark)
+    dup = (
+        v.groupBy("partition_id", "rule_id", "row_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+
+def test_finish_idempotent(spark, df, tmp_path):
+    eng = ValidationEngine(_ruleset())
+    run = CheckpointedRun(eng, str(tmp_path / "idem"), "run2")
+    run.run(df, batch_size=8)
+    run.finish(df)
+    first = _viol_set(run, spark)
+    run.finish(df)  # gated by the __table__ state row — must be a no-op
+    assert _viol_set(run, spark) == first
+
+
+def test_state_carries_lineage(spark, df, tmp_path):
+    eng = ValidationEngine(_ruleset())
+    run = CheckpointedRun(eng, str(tmp_path / "lin"), "run3")
+    run.run(df, batch_size=8)
+    state = run._load_state()
+    row = next(iter(state.values()))
+    assert "ruleset_sha" in row and "input_schema" in row and "wall_sec" in row

@@ -1,0 +1,169 @@
+"""Unit tests for the pipeline operators: dedup, similarity, text, drift,
+and the synthetic-source pandas/distributed equivalence."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschema_spark.operators import dedup, drift, similarity, text
+from xmlschema_spark.sources.images import generate_images_df, generate_images_pdf
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank now"),
+    (2, "completely different content about spark distributed query engines and shuffles"),
+    (3, "The quick  brown fox jumps over the lazy dog near the river bank today"),
+    (4, "der hund und die katze sind nicht mit der maus zu hause"),
+    (5, "el perro y el gato es un animal que vive por la casa"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    df.cache().count()
+    return df
+
+
+def test_exact_duplicates_normalized(spark, docs):
+    groups = dedup.exact_duplicates(docs, "text", "doc_id").collect()
+    # doc 3 differs from doc 0 only by case + double space → same group
+    assert len(groups) == 1
+    assert sorted(groups[0].doc_ids) == [0, 3]
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=32, bands=16, shingle_k=3
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 3) in got  # identical after normalization: all bands agree
+    assert (0, 1) in got  # one-word difference: most bands agree
+    assert not any(2 in p for p in got)  # unrelated doc pairs with nothing
+
+
+def test_jaccard_exact_value(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.1, shingle_k=3).collect()
+    }
+    assert pairs[(0, 3)] == 1.0  # identical shingle sets
+    # doc0 vs doc1: 14 words → 12 3-shingles each; only the final shingle
+    # ("river bank today" vs "river bank now") differs → 11 / (12+12-11)
+    assert abs(pairs[(0, 1)] - 11 / 13) < 1e-9
+
+
+def test_simhash_near_duplicates(spark, docs):
+    pairs = dedup.simhash_near_duplicates(docs, "text", "doc_id", max_hamming=10, chunk_bits=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 3) in got
+    assert (2, 4) not in got and (2, 5) not in got
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    topk = similarity.cosine_topk(
+        df, df.filter(F.col("vec_id") < 2), "vec_id", "embedding", "vec_id", k=3
+    ).collect()
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    for q in (0, 1):
+        expect = np.argsort(-sims[q])[:3].tolist()
+        got = [r.id for r in sorted(topk, key=lambda r: r.rank) if r.query_id == q]
+        assert got == expect
+
+
+def test_lsh_bucket_groups_identical_vectors(spark):
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal(16)
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in base]),
+            (2, [float(x) for x in -base])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_duplicates(df, "vec_id", "embedding", threshold=0.99)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, 1)}  # identical vectors share every sign bit; negated never
+
+
+def test_detect_language(spark, docs):
+    pred = {
+        r.doc_id: r.lang
+        for r in docs.select("doc_id", text.detect_language(F.col("text")).alias("lang")).collect()
+    }
+    assert pred[0] == "en" and pred[4] == "de" and pred[5] == "es"
+    zh = spark.createDataFrame([(9, "这是一个中文句子")], "doc_id long, text string")
+    assert zh.select(text.detect_language(F.col("text")).alias("l")).first().l == "zh"
+
+
+def test_quality_score_monotone(spark):
+    rows = [(0, "a good long sentence with many reasonable words flowing nicely onward today"),
+            (1, "x5 77 !!! ??? 99 000 ### !!"),
+            (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r.doc_id: r.quality_score for r in text.quality_score(df, "text", "doc_id").collect()}
+    # prose beats punct/digit-heavy junk and empty text (the empty doc still
+    # collects the two "not punct/digit-heavy" terms — rubric is monotone
+    # per-feature, not a global ordering)
+    assert scores[0] > scores[1] and scores[0] > scores[2]
+
+
+def test_fingerprint_order_insensitive_equal_content(spark, docs):
+    fp = docs.select("doc_id", text.fingerprint(F.col("text")).alias("f")).collect()
+    by_id = {r.doc_id: r.f for r in fp}
+    assert by_id[0] == by_id[3]  # same normalized content ⇒ same fingerprint
+    assert by_id[0] != by_id[2]
+
+
+def test_psi_fast_path_matches_sql_path(spark):
+    rows = [(f"p{i % 4}", float(i % 50) + (25.0 if i % 4 == 3 else 0.0)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "part string, x double")
+    fast = {r.part: r.psi for r in drift.psi(df, "x", "part", bins=10).collect()}
+    slow = {
+        r.part: r.psi
+        for r in drift.psi(df, "x", "part", bins=10, max_collected_cells=0).collect()
+    }
+    assert set(fast) == set(slow)
+    for p in fast:
+        assert abs(fast[p] - slow[p]) < 1e-9
+    # the shifted partition drifts most; the others score lower even though
+    # the pooled reference includes the drifted mass
+    assert fast["p3"] > 0.3
+    assert all(fast["p3"] > 2 * fast[p] for p in ("p0", "p1", "p2"))
+
+
+def test_psi_empty_and_all_null(spark):
+    empty = spark.createDataFrame([], "part string, x double")
+    assert drift.psi(empty, "x", "part").count() == 0
+    nulls = spark.createDataFrame([("a", None), ("b", None)], "part string, x double")
+    assert drift.psi(nulls, "x", "part").count() == 0
+
+
+def test_ks_detects_shift(spark):
+    rows = [(f"p{i % 2}", float(i % 100) + (60.0 if i % 2 else 0.0)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "part string, x double")
+    # explicit reference distribution (vs the pooled default, against which
+    # both halves of a 2-way mixture deviate symmetrically)
+    ref = df.filter(df.part == "p0")
+    ks = {r.part: r.ks for r in drift.ks(df, "x", "part", reference=ref).collect()}
+    assert ks["p0"] < 0.05
+    assert ks["p1"] > 0.5
+
+
+def test_generator_paths_identical(spark):
+    kw = dict(
+        seed=21, n_parts=4, null_frac=0.1, bad_dims_frac=0.1,
+        corrupt_frac=0.1, dup_id_frac=0.1, min_side=8, max_side=12,
+    )
+    keys = ["image_id", "phash", "w", "h"]
+    pdf = generate_images_pdf(60, **kw)
+    dist = generate_images_df(spark, 60, distributed=True, **kw).toPandas()
+    pdf = pdf.sort_values(keys).reset_index(drop=True)
+    dist = dist.sort_values(keys).reset_index(drop=True)
+    for col in ("image_id", "w", "h", "fmt", "caption", "phash", "part"):
+        assert list(pdf[col].fillna("∅")) == list(dist[col].fillna("∅")), col
+    assert all(
+        (a is None and b is None) or bytes(a) == bytes(b)
+        for a, b in zip(pdf["bytes"], dist["bytes"])
+    )

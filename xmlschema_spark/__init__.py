@@ -24,8 +24,10 @@ Architecture (Spark-first, not a port):
 """
 
 from xmlschema_spark.session import get_spark
-from xmlschema_spark.rules import Rule, RuleSet
+from xmlschema_spark.rules import Rule, RuleSet, register_rule_kind
 from xmlschema_spark.engine import ValidationEngine, ValidationResult
+from xmlschema_spark.normalize import normalize_table
+from xmlschema_spark.report import format_report, register_formatter
 
 __version__ = "0.1.0"
 
@@ -33,7 +35,11 @@ __all__ = [
     "get_spark",
     "Rule",
     "RuleSet",
+    "register_rule_kind",
     "ValidationEngine",
     "ValidationResult",
+    "normalize_table",
+    "format_report",
+    "register_formatter",
     "__version__",
 ]

@@ -122,6 +122,7 @@ class CheckpointedRun:
             result.verdicts.write.mode("overwrite").partitionBy("partition_id").parquet(
                 self.verdicts_dir
             )
+            result.unpersist()  # release per-batch caches before the next batch
             elapsed = time.time() - t0
             self._append_state(
                 [
@@ -155,6 +156,7 @@ class CheckpointedRun:
                 .partitionBy("partition_id")
                 .parquet(self.violations_dir)
             )
+            result.unpersist()
         self._append_state(
             [{"run_id": self.run_id, "partition_id": "__table__", "status": "DONE"}]
         )

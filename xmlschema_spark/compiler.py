@@ -23,7 +23,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from xmlschema_spark.functions.xsd_regex import XsdRegexError, xsd_patterns_to_java
-from xmlschema_spark.rules import Rule, RuleCompileError
+from xmlschema_spark.rules import CUSTOM_ROW_KINDS, Rule, RuleCompileError
+
+
+def whitespace_normalize(col: Column, mode: str) -> Column:
+    """XSD whiteSpace facet normalization (facets.py:96-129):
+    ``replace`` maps tab/LF/CR to space; ``collapse`` additionally folds
+    runs and trims; ``preserve`` is identity."""
+    if mode == "preserve":
+        return col
+    if mode == "replace":
+        return F.translate(col, "\t\n\r", "   ")
+    if mode == "collapse":
+        return F.trim(F.regexp_replace(col, r"\s+", " "))
+    raise RuleCompileError(f"bad whiteSpace mode {mode!r}")
 
 
 def _passes_when_null(col: Column, ok: Column) -> Column:
@@ -103,6 +116,14 @@ def compile_row_rule(rule: Rule) -> Column:
         # XsdAssert semantics (assertions.py:69-72): non-true ⇒ violation,
         # so a NULL assertion result fails (coalesce to false).
         ok = F.coalesce(F.expr(sql).cast("boolean"), F.lit(False))
+    elif k == "whitespace":
+        # the whiteSpace facet as a *check*: the stored value must already
+        # be in normalized form (normalization itself lives in normalize.py)
+        mode = rule.param("mode", "collapse")
+        ok = _passes_when_null(c, c == whitespace_normalize(c, mode))
+    elif k in CUSTOM_ROW_KINDS:
+        compile_fn, _ = CUSTOM_ROW_KINDS[k]
+        ok = compile_fn(rule)
     else:
         raise RuleCompileError(f"{rule.rule_id}: {k} is not a row-level kind")
 
@@ -133,7 +154,11 @@ def violation_reason(rule: Rule) -> str:
         "fixed": f"value of {rule.column!r} != fixed value {p.get('value')!r}",
         "occurs": f"cardinality of {rule.column!r} outside [{p.get('min', 0)}, {p.get('max')}]",
         "assertion_sql": f"assertion failed: {p.get('sql')}",
+        "whitespace": f"value of {rule.column!r} not whiteSpace-{p.get('mode', 'collapse')} normalized",
     }.get(rule.kind, rule.kind)
+    if rule.kind in CUSTOM_ROW_KINDS:
+        _, reason_fn = CUSTOM_ROW_KINDS[rule.kind]
+        base = reason_fn(rule) if reason_fn else f"custom rule {rule.kind} failed"
     if rule.gate:
         base += f" [where {rule.gate}]"
     return base

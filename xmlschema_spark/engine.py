@@ -60,6 +60,16 @@ class ValidationResult:
     mode: str = "lax"
     extras: dict = field(default_factory=dict)
 
+    def unpersist(self) -> None:
+        """Release every DataFrame this run persisted (violations plus
+        intermediates like the decode-check table). Without this, a later
+        identical run would silently serve Spark's plan-matching cache."""
+        for df in [self.violations, *self.extras.get("persisted", [])]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
 
 class ValidationEngine:
     """Compiled validator for one table shape.
@@ -197,8 +207,11 @@ class ValidationEngine:
 
     # -------------------------------------------------------------- dataset
 
-    def dataset_violations(self, df: DataFrame, run_id: str) -> list[DataFrame]:
+    def dataset_violations(
+        self, df: DataFrame, run_id: str, persisted: list | None = None
+    ) -> list[DataFrame]:
         out: list[DataFrame] = []
+        persisted = persisted if persisted is not None else []
         decode_rules = [r for r in self.ruleset.dataset_rules if r.kind == "decode_image"]
         phash_rules = [r for r in self.ruleset.dataset_rules if r.kind == "phash_consistency"]
         if decode_rules or phash_rules:
@@ -211,15 +224,14 @@ class ValidationEngine:
                 phash_max_hamming_lossy=(
                     int(phash_rules[0].param("max_hamming_lossy", 20)) if phash_rules else 20
                 ),
-            )
-            # partition of each image recovered by joining back on id would
-            # add a shuffle over the binary column's ids; instead carry the
-            # partition through the UDF? The id→partition map is cheap:
-            part_map = df.select(
-                F.col(self.id_col).alias("image_id"),
-                F.col(self.partition_col).cast("string").alias("partition_id"),
-            )
-            checks = checks.join(part_map, "image_id", "left")
+                # the partition column rides through the UDF — joining it
+                # back by id afterwards would cost a broadcast + join
+                passthrough=[self.partition_col],
+            ).withColumn("partition_id", F.col(self.partition_col).cast("string"))
+            # decode + phash rules both filter this DF — persist so the
+            # Arrow decode pass over the binary column runs exactly once.
+            checks = checks.persist()
+            persisted.append(checks)
             if decode_rules:
                 r = decode_rules[0]
                 bad = checks.filter(
@@ -310,9 +322,10 @@ class ValidationEngine:
             verdicts = self._verdicts(df, empty, run_id)
             return ValidationResult(run_id, empty, verdicts, stats_df, mode)
 
+        persisted: list = []
         parts = [self.row_violations(df, run_id)]
         parts += self.set_violations(df, run_id, secondary)
-        parts += self.dataset_violations(df, run_id)
+        parts += self.dataset_violations(df, run_id, persisted=persisted)
         violations = parts[0]
         for p in parts[1:]:
             violations = violations.unionByName(p)
@@ -322,8 +335,16 @@ class ValidationEngine:
             # raising at the first yield (xsdbase.py:698-701).
             violations = violations.limit(1)
 
+        # violations are consumed at least twice (caller sink + verdict
+        # aggregation) — persist so the wide pass / decode UDFs / joins run
+        # once. Violations are tiny relative to the input scan, so this
+        # holds at 10^12-row scale where recomputing the scan would not.
+        violations = violations.persist()
         verdicts = self._verdicts(df, violations, run_id)
-        return ValidationResult(run_id, violations, verdicts, stats_df, mode)
+        return ValidationResult(
+            run_id, violations, verdicts, stats_df, mode,
+            extras={"persisted": persisted},
+        )
 
     def _verdicts(self, df: DataFrame, violations: DataFrame, run_id: str) -> DataFrame:
         """Per-partition PASS/FAIL + counts. Table-scoped violations

@@ -114,7 +114,10 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 def _block_mean_gray(pixels: np.ndarray, n: int = 8) -> np.ndarray:
     """Downsample luma to an n×n grid of block means (any input size)."""
-    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    # elementwise luma (not a BLAS matvec: BLAS would spin up a per-worker
+    # thread pool, oversubscribing cores when many executors run at once)
+    p = pixels.astype(np.float64)
+    gray = p[..., 0] * 0.299 + p[..., 1] * 0.587 + p[..., 2] * 0.114
     h, w = gray.shape
     ys = (np.arange(n + 1) * h) // n
     xs = (np.arange(n + 1) * w) // n

@@ -45,6 +45,7 @@ def decode_check(
     id_col: str = "image_id",
     check_phash: bool = True,
     phash_max_hamming_lossy: int = 20,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Per-row invariant table: does ``bytes`` decode, do decoded dims match
     declared (w, h), does fmt match the container, is PSNR vs a reference
@@ -59,15 +60,22 @@ def decode_check(
     original pixels, the check recomputes on the decoded pixels, so lossy
     formats may legitimately flip a few bits — exact match is required for
     lossless, hamming ≤ ``phash_max_hamming_lossy`` for lossy.
+
+    ``passthrough`` columns (e.g. the partition column) are copied to the
+    output unchanged — carrying them through the UDF is free, whereas
+    joining them back afterwards costs a broadcast + join per run.
     """
+    passthrough = [c for c in (passthrough or []) if c != id_col]
     cols = [id_col, "bytes", "w", "h", "fmt"] + (["phash"] if check_phash else [])
+    cols += [c for c in passthrough if c not in cols]
+    out_fields = (
+        "image_id", "decode_ok", "fmt_match", "dims_match",
+        "psnr", "psnr_ok", "phash_hamming", "phash_match", "error",
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in (
-                "image_id", "decode_ok", "fmt_match", "dims_match",
-                "psnr", "psnr_ok", "phash_hamming", "phash_match", "error",
-            )}
+            out = {k: [] for k in out_fields}
             for row in pdf.itertuples(index=False):
                 rid = getattr(row, id_col)
                 out["image_id"].append(rid)
@@ -108,9 +116,16 @@ def decode_check(
                     out["phash_hamming"].append(64)
                     out["phash_match"].append(False)
                     out["error"].append(f"{type(e).__name__}: {e}")
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            for c in passthrough:
+                res[c] = pdf[c].values
+            yield res
 
-    return df.select(*cols).mapInPandas(batches, schema=DECODE_CHECK_SCHEMA)
+    schema_src = df.select(*cols).schema
+    schema = DECODE_CHECK_SCHEMA + "".join(
+        f", {c} {schema_src[c].dataType.simpleString()}" for c in passthrough
+    )
+    return df.select(*cols).mapInPandas(batches, schema=schema)
 
 
 def regex_check(df: DataFrame, column: str, pattern: str, id_col: str) -> DataFrame:

@@ -46,6 +46,7 @@ ROW_KINDS = frozenset(
         "fixed",
         "occurs",
         "assertion_sql",
+        "whitespace",
     }
 )
 SET_KINDS = frozenset({"unique", "key", "keyref"})
@@ -54,6 +55,20 @@ DATASET_KINDS = frozenset(
 )
 ALL_KINDS = ROW_KINDS | SET_KINDS | DATASET_KINDS
 
+# Extension surface — the analog of the reference accepting plain callables
+# as facet validators (builtins.py:586-599): a registered kind maps to a
+# ``fn(rule) -> Column`` returning True where the row SATISFIES the rule.
+CUSTOM_ROW_KINDS: dict[str, Any] = {}
+
+
+def register_rule_kind(name: str, compile_fn, reason_fn=None) -> None:
+    """Register a custom row-level rule kind. ``compile_fn(rule)`` must
+    return a boolean Spark Column (True = row passes); ``reason_fn(rule)``
+    optionally returns the violation reason string."""
+    if name in ALL_KINDS:
+        raise RuleCompileError(f"cannot shadow built-in rule kind {name!r}")
+    CUSTOM_ROW_KINDS[name] = (compile_fn, reason_fn)
+
 # Facet applicability per Spark dtype class — the analog of STRING_FACETS /
 # DECIMAL_FACETS / etc. in /root/reference/xmlschema/validators/builtins.py:39-61.
 _LENGTH_KINDS = {"length", "min_length", "max_length"}
@@ -61,7 +76,7 @@ _RANGE_KINDS = {"min", "max", "min_exclusive", "max_exclusive"}
 _DIGIT_KINDS = {"total_digits", "fraction_digits"}
 
 _APPLICABLE: dict[str, frozenset[str]] = {
-    "string": frozenset(_LENGTH_KINDS | _RANGE_KINDS | {"pattern", "enumeration"}),
+    "string": frozenset(_LENGTH_KINDS | _RANGE_KINDS | {"pattern", "enumeration", "whitespace"}),
     "binary": frozenset(_LENGTH_KINDS),
     "numeric": frozenset(_RANGE_KINDS | _DIGIT_KINDS | {"enumeration"}),
     "temporal": frozenset(_RANGE_KINDS | {"enumeration"}),
@@ -118,7 +133,7 @@ class Rule:
     severity: str = "error"  # error | warning
 
     def __post_init__(self):
-        if self.kind not in ALL_KINDS:
+        if self.kind not in ALL_KINDS and self.kind not in CUSTOM_ROW_KINDS:
             raise RuleCompileError(f"{self.rule_id}: unknown rule kind {self.kind!r}")
         if self.severity not in ("error", "warning"):
             raise RuleCompileError(f"{self.rule_id}: bad severity {self.severity!r}")
@@ -155,7 +170,7 @@ class RuleSet:
 
     @property
     def row_rules(self) -> list[Rule]:
-        return self.of_kinds(ROW_KINDS)
+        return self.of_kinds(ROW_KINDS | set(CUSTOM_ROW_KINDS))
 
     @property
     def set_rules(self) -> list[Rule]:
@@ -171,7 +186,7 @@ class RuleSet:
         (simple_types.py:144-146). Raises RuleCompileError."""
         fields = {f.name: f.dataType.simpleString() for f in schema.fields}
         for r in self.rules:
-            if r.kind in _ANY_TYPE_KINDS or r.kind in DATASET_KINDS:
+            if r.kind in _ANY_TYPE_KINDS or r.kind in DATASET_KINDS or r.kind in CUSTOM_ROW_KINDS:
                 cols = [r.column] if r.column else []
             elif r.kind in SET_KINDS:
                 cols = list(r.param("columns", []))

@@ -35,6 +35,12 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(8, 2 * n_cores)
 
+    # one BLAS thread per Python worker: each executor core runs its own
+    # worker process, so intra-op BLAS pools would oversubscribe the box
+    # N_workers × N_blas_threads (observed anti-scaling local[8]→local[32]).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -50,6 +56,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -8,13 +8,21 @@ This is the engine-owned fixture generator (FIXTURES.md §0): real encoded
 images from our deterministic codec so decode/PSNR rules are exercised,
 with seeded violation injection per fixture family. No external data.
 
-Scale note: generation is itself distributed — ids are created as a Spark
-range and images are rendered inside ``mapInPandas`` so a 10^9-row fixture
-would synthesize in parallel on executors; the pandas path below is a
-convenience for small pytest tables.
+Two equivalent paths produce byte-identical rows for the same (n, seed,
+fracs):
+
+- ``generate_images_pdf`` — driver-side pandas, for small pytest tables.
+- ``generate_images_df(distributed=True)`` — ``spark.range(n)`` +
+  ``mapInPandas`` rendering on executors, for large benchmark/scaling
+  tables (generation parallelizes like any other scan).
+
+Row i is derived from ``default_rng(seed * 1_000_003 + i)`` alone, so
+determinism is independent of partitioning.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -41,6 +49,11 @@ _WORDS = (
     "checker stripe noise cat dog tree car sky sea sun moon star leaf rock"
 ).split()
 
+_FAMILIES = (
+    "null", "bad_dims", "bad_fmt", "corrupt",
+    "dup_id", "hot_phash", "long_caption", "bad_id",
+)
+
 
 def _render(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
     """Deterministic toy image: per-image coarse random structure (so
@@ -53,89 +66,154 @@ def _render(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def _family_bounds(n: int, fracs: dict[str, float]) -> list[tuple[str, int, int]]:
+    """Disjoint [start, end) index ranges per violation family (applied in
+    fixed order over row index), so expected counts are exact."""
+    bounds = []
+    cursor = 0
+    for fam in _FAMILIES:
+        cnt = int(n * fracs.get(fam, 0.0))
+        bounds.append((fam, cursor, min(cursor + cnt, n)))
+        cursor += cnt
+    return bounds
+
+
+def _family_of(i: int, bounds: list[tuple[str, int, int]]) -> str | None:
+    for fam, lo, hi in bounds:
+        if lo <= i < hi:
+            return fam
+    return None
+
+
+def _make_row(
+    i: int,
+    seed: int,
+    fam: str | None,
+    n_parts: int,
+    drift_part: str | None,
+    min_side: int,
+    max_side: int,
+) -> tuple:
+    r = np.random.default_rng(seed * 1_000_003 + i)
+    part = f"p{i % n_parts:02d}"
+    w = int(r.integers(min_side, max_side + 1))
+    h = int(r.integers(min_side, max_side + 1))
+    if drift_part is not None and part == drift_part:
+        # shifted width distribution for the drift fixture
+        w = int(r.integers(max_side + 8, max_side + 24))
+    fmt = FORMATS[int(r.integers(0, len(FORMATS)))]
+    pixels = _render(r, w, h)
+    data = encode_image(pixels, fmt)
+    ph = phash64(pixels)
+    caption = " ".join(
+        _WORDS[int(j)] for j in r.integers(0, len(_WORDS), size=int(r.integers(3, 9)))
+    )
+    image_id = f"img_{r.integers(0, 2**63):016x}"[:20]
+
+    if fam == "null":
+        caption = None
+        fmt = None
+    elif fam == "bad_dims":
+        w, h = w + 5, h + 3  # declared dims disagree with encoded dims
+    elif fam == "bad_fmt":
+        fmt = "tiff"
+    elif fam == "corrupt":
+        data = data[: max(6, len(data) // 2)]
+    elif fam == "dup_id":
+        image_id = "img_d0d0d0d0d0d0d0d0"  # pattern-valid, shared by the family
+    elif fam == "hot_phash":
+        ph = 4242424242
+    elif fam == "long_caption":
+        caption = "x" * 600
+    elif fam == "bad_id":
+        image_id = f"BAD ID {i}"
+
+    return (image_id, data, w, h, fmt, caption, ph, part)
+
+
+def _collect_fracs(
+    null_frac=0.0, bad_dims_frac=0.0, bad_fmt_frac=0.0, corrupt_frac=0.0,
+    dup_id_frac=0.0, hot_phash_frac=0.0, long_caption_frac=0.0, bad_id_frac=0.0,
+) -> dict[str, float]:
+    return {
+        "null": null_frac, "bad_dims": bad_dims_frac, "bad_fmt": bad_fmt_frac,
+        "corrupt": corrupt_frac, "dup_id": dup_id_frac, "hot_phash": hot_phash_frac,
+        "long_caption": long_caption_frac, "bad_id": bad_id_frac,
+    }
+
+
 def generate_images_pdf(
     n: int,
     seed: int = 42,
     n_parts: int = 8,
-    null_frac: float = 0.0,
-    bad_dims_frac: float = 0.0,
-    bad_fmt_frac: float = 0.0,
-    corrupt_frac: float = 0.0,
-    dup_id_frac: float = 0.0,
-    hot_phash_frac: float = 0.0,
-    long_caption_frac: float = 0.0,
-    bad_id_frac: float = 0.0,
     drift_part: str | None = None,
     min_side: int = 8,
     max_side: int = 24,
+    **fracs,
 ) -> pd.DataFrame:
-    """Generate ``n`` rows with seeded violation injection.
-
-    Each ``*_frac`` marks a deterministic slice of rows as that violation
-    family; slices are disjoint (applied in order over row index), so
-    expected violation counts are exact for golden tests.
-    """
-    rng = np.random.default_rng(seed)
-    rows = []
-    counters = {k: int(n * f) for k, f in [
-        ("null", null_frac), ("bad_dims", bad_dims_frac), ("bad_fmt", bad_fmt_frac),
-        ("corrupt", corrupt_frac), ("dup_id", dup_id_frac), ("hot_phash", hot_phash_frac),
-        ("long_caption", long_caption_frac), ("bad_id", bad_id_frac),
-    ]}
-    # assign disjoint index ranges per family
-    fam_of = {}
-    cursor = 0
-    for fam, cnt in counters.items():
-        for i in range(cursor, min(cursor + cnt, n)):
-            fam_of[i] = fam
-        cursor += cnt
-
-    for i in range(n):
-        r = np.random.default_rng(seed * 1_000_003 + i)
-        fam = fam_of.get(i)
-        part = f"p{i % n_parts:02d}"
-        w = int(r.integers(min_side, max_side + 1))
-        h = int(r.integers(min_side, max_side + 1))
-        if drift_part is not None and part == drift_part:
-            # shifted width distribution for the drift fixture
-            w = int(r.integers(max_side + 8, max_side + 24))
-        fmt = FORMATS[int(r.integers(0, len(FORMATS)))]
-        pixels = _render(r, w, h)
-        data = encode_image(pixels, fmt)
-        ph = phash64(pixels)
-        caption = " ".join(
-            _WORDS[int(j)] for j in r.integers(0, len(_WORDS), size=int(r.integers(3, 9)))
-        )
-        image_id = f"img_{r.integers(0, 2**63):016x}"[:20]
-
-        if fam == "null":
-            caption = None
-            fmt = None
-        elif fam == "bad_dims":
-            w, h = w + 5, h + 3  # declared dims disagree with encoded dims
-        elif fam == "bad_fmt":
-            fmt = "tiff"
-        elif fam == "corrupt":
-            data = data[: max(6, len(data) // 2)]
-        elif fam == "dup_id":
-            image_id = "img_d0d0d0d0d0d0d0d0"  # pattern-valid, shared by the family
-        elif fam == "hot_phash":
-            ph = 4242424242
-        elif fam == "long_caption":
-            caption = "x" * 600
-        elif fam == "bad_id":
-            image_id = f"BAD ID {i}"
-
-        rows.append((image_id, data, w, h, fmt, caption, ph, part))
-
+    """Driver-side pandas generation (small pytest tables)."""
+    bounds = _family_bounds(n, _collect_fracs(**fracs))
+    rows = [
+        _make_row(i, seed, _family_of(i, bounds), n_parts, drift_part, min_side, max_side)
+        for i in range(n)
+    ]
     return pd.DataFrame(
         rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "part"]
     )
 
 
-def generate_images_df(spark: SparkSession, n: int, seed: int = 42, **kw) -> DataFrame:
+def generate_images_df(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    distributed: bool | None = None,
+    **kw,
+) -> DataFrame:
     """Spark DataFrame over the synthetic table, repartitioned by ``part``
-    so the partition column is the physical partitioning (Iceberg analog)."""
-    pdf = generate_images_pdf(n, seed=seed, **kw)
-    df = spark.createDataFrame(pdf, schema=IMAGE_SCHEMA)
-    return df.repartition("part")
+    so the partition column is the physical partitioning (Iceberg analog).
+
+    ``distributed=None`` auto-selects: executor-side rendering via
+    ``mapInPandas`` for n >= 2000 (generation scales with the cluster),
+    driver-side pandas below that (lower fixed cost)."""
+    if distributed is None:
+        distributed = n >= 2000
+    if not distributed:
+        pdf = generate_images_pdf(n, seed=seed, **kw)
+        df = spark.createDataFrame(pdf, schema=IMAGE_SCHEMA)
+        n_parts = int(kw.get("n_parts", 8))
+        # range-partition on (part, image_id): keeps part-locality (the
+        # Iceberg identity-partition analog) with EVEN partition sizes —
+        # hash repartition("part") over few distinct keys leaves empty
+        # partitions and 2-3x hot ones (measured), capping parallelism.
+        return df.repartitionByRange(max(8, n_parts), "part", "image_id")
+
+    n_parts = int(kw.get("n_parts", 8))
+    drift_part = kw.get("drift_part")
+    min_side = int(kw.get("min_side", 8))
+    max_side = int(kw.get("max_side", 24))
+    fracs = _collect_fracs(
+        **{k: v for k, v in kw.items()
+           if k not in ("n_parts", "drift_part", "min_side", "max_side")}
+    )
+    bounds = _family_bounds(n, fracs)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _make_row(
+                    int(i), seed, _family_of(int(i), bounds),
+                    n_parts, drift_part, min_side, max_side,
+                )
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "part"],
+            )
+
+    slices = max(n_parts * 4, 32)
+    rng_ids = spark.range(0, n, 1, slices)
+    # same balanced range partitioning as the driver-side path (see above)
+    return rng_ids.mapInPandas(render, schema=IMAGE_SCHEMA).repartitionByRange(
+        max(8, n_parts), "part", "image_id"
+    )
