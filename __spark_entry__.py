@@ -376,6 +376,19 @@ def q_image_decode_stats(spark, sf_dir):
     )
 
 
+def q_image_features(spark, sf_dir):
+    """Multimodal feature extraction (mean RGB / luma stats / histogram)
+    aggregated to corpus level — Arrow-batched, pruned scan."""
+    df = generate_images_df(spark, 200, seed=17)
+    feats = mm_ops.extract_features(df)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("luma_mean"), 2).alias("avg_luma"),
+        F.round(F.avg("aspect"), 3).alias("avg_aspect"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style wide aggregation (general agg capability check)."""
     df = _t(spark, sf_dir, "lineitem")
@@ -449,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "image_suite_verdicts": q_image_suite_verdicts,
         "image_decode_stats": q_image_decode_stats,
+        "image_features": q_image_features,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_segment": q_top_orders_per_segment,
     }

@@ -151,6 +151,21 @@ def test_ks_detects_shift(spark):
     assert ks["p1"] > 0.5
 
 
+def test_extract_features(spark):
+    from xmlschema_spark.operators import multimodal
+    from xmlschema_spark.sources.images import generate_images_df
+
+    df = generate_images_df(spark, 40, seed=9, corrupt_frac=0.1, distributed=False)
+    feats = multimodal.extract_features(df).collect()
+    assert len(feats) == 40
+    ok = [f for f in feats if f.decode_ok]
+    bad = [f for f in feats if not f.decode_ok]
+    assert len(bad) == 4  # corrupt rows yield a decode_ok=False feature row
+    for f in ok:
+        assert 0 <= f.luma_mean <= 255 and f.aspect > 0
+        assert abs(sum(f.luma_hist) - 1.0) < 1e-9 and len(f.luma_hist) == 8
+
+
 def test_generator_paths_identical(spark):
     kw = dict(
         seed=21, n_parts=4, null_frac=0.1, bad_dims_frac=0.1,

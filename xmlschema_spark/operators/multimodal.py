@@ -178,6 +178,54 @@ def resize_images(df: DataFrame, out_w: int, out_h: int, id_col: str = "image_id
     return df.select(id_col, "bytes").mapInPandas(batches, schema=schema)
 
 
+def extract_features(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Per-image feature extraction over Arrow batches: mean RGB, luma
+    mean/std, an 8-bin luma histogram (array<double>, L1-normalized), and
+    aspect ratio. The feature-extract stage of a training-data pipeline —
+    same pruned-scan + mapInPandas shape as decode_check, numpy-vectorized
+    per image, no per-row Python in the driver path."""
+    schema = (
+        f"{id_col} string, mean_r double, mean_g double, mean_b double, "
+        "luma_mean double, luma_std double, luma_hist array<double>, "
+        "aspect double, decode_ok boolean"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                rid = getattr(row, id_col)
+                try:
+                    pixels, _ = codec.decode_image(
+                        bytes(row.bytes) if row.bytes is not None else None
+                    )
+                except ValueError:
+                    rows.append((rid, 0.0, 0.0, 0.0, 0.0, 0.0, [0.0] * 8, 0.0, False))
+                    continue
+                p = pixels.astype(np.float64)
+                luma = p[..., 0] * 0.299 + p[..., 1] * 0.587 + p[..., 2] * 0.114
+                hist, _ = np.histogram(luma, bins=8, range=(0, 256))
+                hist = (hist / max(hist.sum(), 1)).tolist()
+                h, w = pixels.shape[:2]
+                rows.append(
+                    (
+                        rid,
+                        float(p[..., 0].mean()), float(p[..., 1].mean()), float(p[..., 2].mean()),
+                        float(luma.mean()), float(luma.std()),
+                        hist, float(w) / float(h), True,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "mean_r", "mean_g", "mean_b",
+                    "luma_mean", "luma_std", "luma_hist", "aspect", "decode_ok",
+                ],
+            )
+
+    return df.select(id_col, "bytes").mapInPandas(batches, schema=schema)
+
+
 def extract_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling — STUB. The container has no video codec; the
     Spark-side contract is: input (video_id, bytes), output one row per
