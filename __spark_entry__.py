@@ -95,6 +95,15 @@ def q_verdicts_lineitem(spark, sf_dir):
     )
 
 
+def q_one_pass_verdicts_lineitem(spark, sf_dir):
+    """Single-scan verdict path (one scan + one partial-agg shuffle) —
+    must equal the classic multi-job verdict semantics."""
+    df = _t(spark, sf_dir, "lineitem")
+    eng = ValidationEngine(_lineitem_rules(), id_col="l_orderkey", partition_col="l_returnflag")
+    one = eng.validate_one_pass(df, run_id="r", with_stats=False)
+    return one.select("partition_id", "status", "rows_checked", "violation_count")
+
+
 def q_strict_mode_first_violation(spark, sf_dir):
     """strict mode = fail-fast single error (xsdbase.py:698-701 analog)."""
     df = _t(spark, sf_dir, "orders")
@@ -434,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_violations_orders": q_row_violations_orders,
         "violation_counts_lineitem": q_violation_counts_lineitem,
         "verdicts_lineitem": q_verdicts_lineitem,
+        "one_pass_verdicts_lineitem": q_one_pass_verdicts_lineitem,
         "strict_mode_first_violation": q_strict_mode_first_violation,
         "unique_dups_part": q_unique_dups_part,
         "unique_dups_scoped": q_unique_dups_scoped,
@@ -509,6 +519,18 @@ SELECT * FROM (
 ) WHERE n > 0
 """,
         "verdicts_lineitem": """
+SELECT l_returnflag AS partition_id,
+       CASE WHEN SUM(CASE WHEN NOT (l_quantity <= 45) THEN 1 ELSE 0 END
+                 + CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END
+                 + CASE WHEN l_returnflag NOT IN ('A','N') THEN 1 ELSE 0 END) > 0
+            THEN 'FAIL' ELSE 'PASS' END AS status,
+       count(*)::BIGINT AS rows_checked,
+       SUM(CASE WHEN NOT (l_quantity <= 45) THEN 1 ELSE 0 END
+         + CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END
+         + CASE WHEN l_returnflag NOT IN ('A','N') THEN 1 ELSE 0 END)::BIGINT AS violation_count
+FROM lineitem GROUP BY l_returnflag
+""",
+        "one_pass_verdicts_lineitem": """
 SELECT l_returnflag AS partition_id,
        CASE WHEN SUM(CASE WHEN NOT (l_quantity <= 45) THEN 1 ELSE 0 END
                  + CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "row_violations_orders",      # wide single-pass facet projection
     "violation_counts_lineitem",  # facet pass + agg
     "verdicts_lineitem",          # full validate + verdict assembly
+    "one_pass_verdicts_lineitem", # single-scan verdict path
     "unique_dups_salted",         # two-phase salted uniqueness agg
     "unique_dups_scoped",         # partition-scoped uniqueness
     "keyref_orphans",             # broadcast left-anti referential join

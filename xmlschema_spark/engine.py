@@ -346,6 +346,110 @@ class ValidationEngine:
             extras={"persisted": persisted},
         )
 
+    # ------------------------------------------------------------- one-pass
+
+    def validate_one_pass(
+        self,
+        df: DataFrame,
+        run_id: str = "run0",
+        with_stats: bool = True,
+        stats_columns: list[str] | None = None,
+    ) -> DataFrame:
+        """ONE scan + ONE small shuffle: per-partition verdicts with
+        per-rule violation counts and (optionally) per-column stats.
+
+        This is the 10^12-row execution shape (SURVEY.md §3.2 "single wide
+        pass"): the full `validate()` path prices one scan per rule family
+        (fine when the input is cached; ruinous on a 100 TB table). Here:
+
+        1. if decode/phash rules exist, the Arrow decode UDF runs INSIDE
+           the scan, passing every rule column through,
+        2. every row rule and decode invariant becomes a 0/1 column,
+        3. one ``groupBy(partition)`` with map-side partial aggregation
+           emits rows_checked + per-rule counts + column stats.
+
+        Row-level violation DETAIL rows and set-level rules (unique /
+        keyref — inherently their own shuffles) remain on ``validate()``;
+        verdict semantics here match it exactly (tested).
+        """
+        decode_rules = [r for r in self.ruleset.dataset_rules if r.kind == "decode_image"]
+        phash_rules = [r for r in self.ruleset.dataset_rules if r.kind == "phash_consistency"]
+
+        src = df
+        check_exprs: list = []
+        if decode_rules or phash_rules:
+            # pass EVERY column through (including bytes: row rules like
+            # length(bytes) still need it downstream — the cost is Arrow
+            # round-tripping the binary once, still one scan)
+            needed = {f.name for f in df.schema.fields}
+            src = mm_ops.decode_check(
+                df,
+                psnr_db=float((decode_rules or phash_rules)[0].param("psnr_db", 40.0)),
+                id_col=self.id_col,
+                check_phash=bool(phash_rules),
+                passthrough=sorted(needed - {self.id_col}),
+            )
+            if self.id_col != "image_id":
+                src = src.withColumnRenamed("image_id", self.id_col)
+            if decode_rules:
+                bad = ~(
+                    F.col("decode_ok") & F.col("dims_match")
+                    & F.col("fmt_match") & F.col("psnr_ok")
+                )
+                check_exprs.append((decode_rules[0], bad))
+            if phash_rules:
+                check_exprs.append(
+                    (phash_rules[0], F.col("decode_ok") & ~F.col("phash_match"))
+                )
+
+        flags = [
+            F.sum((~ok).cast("long")).alias(r.rule_id) for r, ok, _ in self._row_preds
+        ] + [F.sum(bad.cast("long")).alias(r.rule_id) for r, bad in check_exprs]
+        error_rules = [
+            r.rule_id
+            for r in (
+                [p[0] for p in self._row_preds] + [c[0] for c in check_exprs]
+            )
+            if r.severity == "error"
+        ]
+
+        stat_aggs: list = []
+        if with_stats:
+            cols = stats_columns or [
+                f.name for f in df.schema.fields
+                if f.name not in (self.partition_col, "bytes")
+            ]
+            for c in cols:
+                stat_aggs += [
+                    F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                    F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                    F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+                    F.approx_count_distinct(c).alias(f"{c}__distinct"),
+                ]
+
+        wide = src.groupBy(
+            F.col(self.partition_col).cast("string").alias("partition_id")
+        ).agg(F.count(F.lit(1)).alias("rows_checked"), *flags, *stat_aggs)
+
+        rule_ids = [p[0].rule_id for p in self._row_preds] + [c[0].rule_id for c in check_exprs]
+        total_errors = (
+            sum(F.col(r) for r in error_rules) if error_rules else F.lit(0)
+        )
+        metrics = F.map_from_arrays(
+            F.array(*[F.lit(r) for r in rule_ids]),
+            F.array(*[F.col(r).cast("string") for r in rule_ids]),
+        ) if rule_ids else F.create_map()
+        return wide.select(
+            F.lit(run_id).alias("run_id"),
+            "partition_id",
+            F.when(total_errors > 0, F.lit("FAIL")).otherwise(F.lit("PASS")).alias("status"),
+            "rows_checked",
+            total_errors.cast("long").alias("violation_count"),
+            metrics.alias("metrics"),
+            *[F.col(a) for a in
+              [f.name for f in wide.schema.fields if "__" in f.name]],
+        )
+
     def _verdicts(self, df: DataFrame, violations: DataFrame, run_id: str) -> DataFrame:
         """Per-partition PASS/FAIL + counts. Table-scoped violations
         (partition_id='__table__') fail every partition's verdict? No —
