@@ -339,6 +339,19 @@ def q_cosine_topk_embeddings(spark, sf_dir):
     )
 
 
+def q_ivf_topk_embeddings(spark, sf_dir):
+    """IVF-bucketed ANN (coarse k-means inverted lists). Probing ALL lists
+    makes it exhaustive, so the exact-cosine oracle applies; production
+    uses n_probe << n_centroids (recall-tested in tests/test_operators.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    topk = sim_ops.ivf_topk(
+        emb, queries, "vec_id", "embedding", "vec_id",
+        k=5, n_centroids=8, n_probe=8,
+    )
+    return topk.select("query_id", "id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """All-pairs cosine ≥ t (exact; LSH-bucketed variant used at scale)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -469,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups_docs": q_simhash_dups_docs,
         "jaccard_pairs_docs": q_jaccard_pairs_docs,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "embedding_near_dups": q_embedding_near_dups,
         "image_suite_verdicts": q_image_suite_verdicts,
         "image_decode_stats": q_image_decode_stats,
@@ -785,6 +799,20 @@ JOIN sizes sb ON sb.doc = id_b
 WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
 """,
         "cosine_topk_embeddings": """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS id,
+         list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine
+  FROM embeddings c, embeddings q WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, id, round(cosine, 4) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+""",
+        "ivf_topk_embeddings": """
 WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS id,
          list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine

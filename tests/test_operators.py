@@ -76,6 +76,33 @@ def test_cosine_topk_matches_numpy(spark):
         assert got == expect
 
 
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """IVF probes only n_probe inverted lists; on well-separated clusters
+    the neighbors live in the query's own list → high recall vs brute force."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16)) * 5
+    vecs = np.vstack([c + rng.standard_normal((40, 16)) for c in centers])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id").isin(0, 45, 90, 135))
+
+    exact = similarity.cosine_topk(df, queries, "vec_id", "embedding", "vec_id", k=5)
+    approx = similarity.ivf_topk(
+        df, queries, "vec_id", "embedding", "vec_id",
+        k=5, n_centroids=8, n_probe=2, seed=3,
+    )
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.id)
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r.query_id, set()).add(r.id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
 def test_lsh_bucket_groups_identical_vectors(spark):
     rng = np.random.default_rng(4)
     base = rng.standard_normal(16)

@@ -125,6 +125,110 @@ def lsh_bucketed_topk(
     )
 
 
+def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 12, seed: int = 7) -> np.ndarray:
+    """Tiny driver-side Lloyd k-means on unit vectors (spherical-ish):
+    the IVF coarse quantizer. Sample is bounded, so this is O(sample x k)
+    driver work — no Spark iterations."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = sample @ centroids.T
+        assign = sims.argmax(axis=1)
+        for j in range(n_centroids):
+            members = sample[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                centroids[j] = c / n if n > 0 else centroids[j]
+    return centroids
+
+
+def _centroid_dots(unit_col, centroids: np.ndarray):
+    """Array column of dot products against every centroid — centroid
+    coordinates inlined as literals, evaluated JVM-side."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    unit_col,
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double"),
+            )
+            for c in centroids
+        ]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means centroids (driver-side, from
+    a bounded sample) partition the corpus into inverted lists; each query
+    probes only its ``n_probe`` nearest lists, then exact cosine + top-k
+    within the candidates.
+
+    Scale shape: one corpus pass to assign list ids (pure codegen
+    expressions — centroids are literals), queries explode to n_probe
+    rows, equi-join on list id (shuffle bounded by candidate lists, never
+    O(corpus x queries)). Recall is tuned by n_probe/n_centroids.
+    """
+    c = with_normalized(corpus.select(F.col(id_col).alias("id"), vec_col), vec_col, "cu")
+    q = with_normalized(
+        queries.select(F.col(query_id_col).alias("query_id"), vec_col), vec_col, "qu"
+    )
+    sample = np.array(
+        [r[0] for r in c.select("cu").filter(F.col("cu").isNotNull()).limit(sample_size).collect()],
+        dtype=np.float64,
+    )
+    n_centroids = min(n_centroids, len(sample))
+    centroids = _kmeans(sample, n_centroids, seed=seed)
+
+    c = (
+        c.withColumn("__dots", _centroid_dots(F.col("cu"), centroids))
+        .withColumn("cid", F.array_position(F.col("__dots"), F.array_max(F.col("__dots"))))
+        .drop("__dots")
+    )
+
+    dots_q = _centroid_dots(F.col("qu"), centroids)
+    # n_probe nearest centroids per query: sort (dot, cid) structs desc
+    probes = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    dots_q,
+                    F.sequence(F.lit(1), F.lit(len(centroids))),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
+                )
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q = q.withColumn("cid", F.explode(F.transform(probes, lambda p: p["cid"])))
+
+    scored = c.join(F.broadcast(q), "cid").select(
+        "query_id", "id", _dot(F.col("cu"), F.col("qu")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str,
