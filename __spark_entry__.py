@@ -248,6 +248,19 @@ def q_type_cast_events(spark, sf_dir):
     return v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_finite_events(spark, sf_dir):
+    """finite-number facet (not NaN/Inf — finite_number_validator analog,
+    builtins.py:66-71) over a derived column with injected NaNs."""
+    rs = RuleSet([Rule("v_finite", "finite", "maybe_nan")])
+    df = _t(spark, sf_dir, "events").withColumn(
+        "maybe_nan",
+        F.expr("CASE WHEN event_id % 11 = 0 THEN double('NaN') ELSE value END"),
+    )
+    eng = ValidationEngine(rs, id_col="event_id", partition_col="event_type")
+    v = eng.row_violations(df, run_id="r")
+    return v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_whitespace_docs(spark, sf_dir):
     """whiteSpace facet as a check: value must be collapse-normalized
     (facets.py:96-129 analog). A derived column injects denormalized rows."""
@@ -472,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "occurs_words_docs": q_occurs_words_docs,
         "digits_lineitem": q_digits_lineitem,
         "type_cast_events": q_type_cast_events,
+        "finite_events": q_finite_events,
         "whitespace_docs": q_whitespace_docs,
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_counts_docs": q_token_counts_docs,
@@ -693,6 +707,10 @@ SELECT * FROM (
         "type_cast_events": """
 SELECT 'k_int' AS rule_id, count(*)::BIGINT AS n
 FROM events WHERE event_id % 7 = 0 AND TRY_CAST(event_type AS INTEGER) IS NULL
+""",
+        "finite_events": """
+SELECT 'v_finite' AS rule_id, count(*)::BIGINT AS n
+FROM events WHERE event_id % 11 = 0
 """,
         "whitespace_docs": """
 SELECT 'ws_collapse' AS rule_id, CAST(doc_id AS VARCHAR) AS row_id, 'error' AS severity

@@ -88,7 +88,7 @@ def run_level(cores: int, n: int, min_side: int, max_side: int, trials: int) -> 
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        cwd=str(REPO), timeout=1800,
+        cwd=str(REPO), timeout=3600,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):

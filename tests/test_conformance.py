@@ -83,6 +83,28 @@ def test_whitespace_rule_kind(spark):
     assert "whiteSpace-collapse" in rows[0].reason
 
 
+def test_finite_rule_kind(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", float("nan")), ("c", float("inf")), ("d", None)],
+        "image_id string, v double",
+    ).withColumn("part", F.lit("p"))
+    rs = RuleSet([Rule("fin", "finite", "v")])
+    res = ValidationEngine(rs).validate(df, with_stats=False)
+    got = sorted(r.row_id for r in res.violations.collect())
+    assert got == ["b", "c"]  # NULL passes (presence is not_null's job)
+
+
+def test_normalize_renames_substitution_group_analog(spark):
+    df = spark.createDataFrame([("x", 1)], "img_identifier string, w int")
+    out = normalize_table(df, renames={"img_identifier": "image_id"})
+    assert out.columns == ["image_id", "w"]
+    with pytest.raises(ValueError, match="already present"):
+        normalize_table(
+            spark.createDataFrame([("x", "y")], "a string, image_id string"),
+            renames={"a": "image_id"},
+        )
+
+
 def test_custom_rule_kind_registry(spark):
     register_rule_kind(
         "even",

@@ -116,6 +116,12 @@ def compile_row_rule(rule: Rule) -> Column:
         # XsdAssert semantics (assertions.py:69-72): non-true ⇒ violation,
         # so a NULL assertion result fails (coalesce to false).
         ok = F.coalesce(F.expr(sql).cast("boolean"), F.lit(False))
+    elif k == "finite":
+        # finite_number_validator analog (builtins.py:66-71): not NaN/Inf
+        ok = _passes_when_null(
+            c,
+            ~F.isnan(c) & ~c.isin(float("inf"), float("-inf")),
+        )
     elif k == "whitespace":
         # the whiteSpace facet as a *check*: the stored value must already
         # be in normalized form (normalization itself lives in normalize.py)
@@ -155,6 +161,7 @@ def violation_reason(rule: Rule) -> str:
         "occurs": f"cardinality of {rule.column!r} outside [{p.get('min', 0)}, {p.get('max')}]",
         "assertion_sql": f"assertion failed: {p.get('sql')}",
         "whitespace": f"value of {rule.column!r} not whiteSpace-{p.get('mode', 'collapse')} normalized",
+        "finite": f"value of {rule.column!r} is NaN or infinite",
     }.get(rule.kind, rule.kind)
     if rule.kind in CUSTOM_ROW_KINDS:
         _, reason_fn = CUSTOM_ROW_KINDS[rule.kind]

@@ -31,10 +31,27 @@ def normalize_table(
     whitespace: dict[str, str] | None = None,
     defaults: dict[str, Any] | None = None,
     casts: dict[str, str] | None = None,
+    renames: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Apply whiteSpace normalization, default fill, and lexical casts as
-    ONE projection. Order per column mirrors the reference's decode chain:
-    normalize → fill default → cast (simple_types.py:310-342)."""
+    """Apply column renames, whiteSpace normalization, default fill, and
+    lexical casts as ONE projection. Order per column mirrors the
+    reference's decode chain: normalize → fill default → cast
+    (simple_types.py:310-342).
+
+    ``renames`` maps alternate input names to canonical ones — the
+    substitution-group analog (alternate element names accepted for a
+    head, elements.py:282-332): downstream rules target canonical names
+    regardless of which alias the source used.
+    """
+    if renames:
+        clash = set(renames.values()) & {
+            f.name for f in df.schema.fields if f.name not in renames
+        }
+        if clash:
+            raise ValueError(f"rename targets already present: {sorted(clash)}")
+        for src, dst in renames.items():
+            if src in df.columns:
+                df = df.withColumnRenamed(src, dst)
     exprs = []
     whitespace = whitespace or {}
     defaults = defaults or {}

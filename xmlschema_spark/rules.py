@@ -47,6 +47,7 @@ ROW_KINDS = frozenset(
         "occurs",
         "assertion_sql",
         "whitespace",
+        "finite",
     }
 )
 SET_KINDS = frozenset({"unique", "key", "keyref"})
@@ -78,7 +79,7 @@ _DIGIT_KINDS = {"total_digits", "fraction_digits"}
 _APPLICABLE: dict[str, frozenset[str]] = {
     "string": frozenset(_LENGTH_KINDS | _RANGE_KINDS | {"pattern", "enumeration", "whitespace"}),
     "binary": frozenset(_LENGTH_KINDS),
-    "numeric": frozenset(_RANGE_KINDS | _DIGIT_KINDS | {"enumeration"}),
+    "numeric": frozenset(_RANGE_KINDS | _DIGIT_KINDS | {"enumeration", "finite"}),
     "temporal": frozenset(_RANGE_KINDS | {"enumeration"}),
     "boolean": frozenset({"enumeration"}),
     "array": frozenset({"occurs", "length", "min_length", "max_length"}),
