@@ -54,3 +54,47 @@ def test_java_compatibility_via_python_re():
     assert rex.match("img_00ff")
     assert not rex.match("ximg_00ff")
     assert not rex.match("img_00ff ")
+
+
+# ---- Java-regex semantics via Spark rlike (class subtraction uses &&,
+# ---- which Python re lacks — must be exercised JVM-side)
+
+def test_spark_multi_pattern_any_match(spark):
+    """N patterns = match at least one (facets.py:621-624), anchored."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("12345",), ("12345-6789",), ("1234",), ("abcde",), ("12345 ",)], "v string"
+    )
+    jre = xsd_patterns_to_java([r"\d{5}", r"\d{5}-\d{4}"])
+    got = sorted(r.v for r in df.filter(F.col("v").rlike(jre)).collect())
+    assert got == ["12345", "12345-6789"]
+
+
+def test_spark_class_subtraction_semantics(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("bcdfg",), ("bacon",), ("xyz",)], "v string")
+    jre = xsd_to_java_regex(r"[a-z-[aeiou]]+")
+    got = sorted(r.v for r in df.filter(F.col("v").rlike(jre)).collect())
+    assert got == ["bcdfg", "xyz"]  # 'bacon' contains vowels
+
+
+def test_spark_name_shorthand_semantics(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("valid_name",), ("_x9",), ("9bad",), ("has space",)], "v string"
+    )
+    jre = xsd_to_java_regex(r"\i\c*")
+    got = sorted(r.v for r in df.filter(F.col("v").rlike(jre)).collect())
+    assert got == ["_x9", "valid_name"]  # digit start / space rejected
+
+
+def test_spark_unicode_block_semantics(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("abc",), ("café",)], "v string")
+    jre = xsd_to_java_regex(r"\p{IsBasicLatin}+")
+    got = [r.v for r in df.filter(F.col("v").rlike(jre)).collect()]
+    assert got == ["abc"]  # é is Latin-1 Supplement, outside BasicLatin

@@ -151,5 +151,6 @@ def xsd_patterns_to_java(patterns: list[str]) -> str:
     alternation, still fully anchored."""
     if len(patterns) == 1:
         return xsd_to_java_regex(patterns[0])
-    alts = "|".join(f"(?:{xsd_to_java_regex(p)[3:-2]})" for p in patterns)
+    # strip the per-pattern "^(?:" prefix and ")$" suffix before joining
+    alts = "|".join(f"(?:{xsd_to_java_regex(p)[4:-2]})" for p in patterns)
     return f"^(?:{alts})$"
