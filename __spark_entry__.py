@@ -248,6 +248,35 @@ def q_type_cast_events(spark, sf_dir):
     return v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_union_type_events(spark, sf_dir):
+    """XsdUnion analog: valid iff any member type decodes (first-match
+    try_cast cascade, simple_types.py:887-898)."""
+    rs = RuleSet([Rule("u_int_date", "type_union", "mixed", {"types": ["int", "date"]})])
+    df = _t(spark, sf_dir, "events").withColumn(
+        "mixed",
+        F.expr(
+            "CASE WHEN event_id % 3 = 0 THEN '2020-01-01' "
+            "WHEN event_id % 3 = 1 THEN CAST(event_id AS STRING) "
+            "ELSE concat('x', event_id) END"
+        ),
+    )
+    eng = ValidationEngine(rs, id_col="event_id", partition_col="event_type")
+    v = eng.row_violations(df, run_id="r")
+    return v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_list_items_docs(spark, sf_dir):
+    """XsdList analog: whitespace-separated items each valid + cardinality
+    (simple_types.py:726-732)."""
+    rs = RuleSet(
+        [Rule("words_ok", "list_items", "text",
+              {"item_pattern": "[a-z]+", "min_items": 40})]
+    )
+    df = _t(spark, sf_dir, "documents")
+    eng = ValidationEngine(rs, id_col="doc_id", partition_col="lang")
+    return eng.row_violations(df, run_id="r").select("rule_id", "row_id", "severity")
+
+
 def q_finite_events(spark, sf_dir):
     """finite-number facet (not NaN/Inf — finite_number_validator analog,
     builtins.py:66-71) over a derived column with injected NaNs."""
@@ -485,6 +514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "occurs_words_docs": q_occurs_words_docs,
         "digits_lineitem": q_digits_lineitem,
         "type_cast_events": q_type_cast_events,
+        "union_type_events": q_union_type_events,
+        "list_items_docs": q_list_items_docs,
         "finite_events": q_finite_events,
         "whitespace_docs": q_whitespace_docs,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -707,6 +738,21 @@ SELECT * FROM (
         "type_cast_events": """
 SELECT 'k_int' AS rule_id, count(*)::BIGINT AS n
 FROM events WHERE event_id % 7 = 0 AND TRY_CAST(event_type AS INTEGER) IS NULL
+""",
+        "union_type_events": """
+SELECT 'u_int_date' AS rule_id, count(*)::BIGINT AS n
+FROM events WHERE event_id % 3 = 2
+""",
+        "list_items_docs": """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS words
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT 'words_ok' AS rule_id, CAST(doc_id AS VARCHAR) AS row_id, 'error' AS severity
+FROM w
+WHERE NOT (list_aggregate(list_transform(words, x -> regexp_full_match(x, '(?:[a-z]+)')), 'bool_and')
+           AND len(words) >= 40)
 """,
         "finite_events": """
 SELECT 'v_finite' AS rule_id, count(*)::BIGINT AS n

@@ -105,6 +105,32 @@ def test_normalize_renames_substitution_group_analog(spark):
         )
 
 
+def test_type_union_first_match(spark):
+    """XsdUnion analog: valid iff any member type decodes (simple_types.py:887-898)."""
+    df = spark.createDataFrame(
+        [("a", "42"), ("b", "2020-03-01"), ("c", "nope"), ("d", None)],
+        "image_id string, v string",
+    ).withColumn("part", F.lit("p"))
+    rs = RuleSet([Rule("u", "type_union", "v", {"types": ["int", "date"]})])
+    res = ValidationEngine(rs).validate(df, with_stats=False)
+    assert [r.row_id for r in res.violations.collect()] == ["c"]
+
+
+def test_list_items_rule(spark):
+    """XsdList analog: whitespace-separated items each valid (simple_types.py:726-732)."""
+    df = spark.createDataFrame(
+        [("a", "1 2 3"), ("b", "4 x 6"), ("c", "7"), ("d", "1 2 3 4 5 6")],
+        "image_id string, v string",
+    ).withColumn("part", F.lit("p"))
+    rs = RuleSet(
+        [Rule("l", "list_items", "v",
+              {"item_type": "int", "min_items": 2, "max_items": 5})]
+    )
+    res = ValidationEngine(rs).validate(df, with_stats=False)
+    got = sorted(r.row_id for r in res.violations.collect())
+    assert got == ["b", "c", "d"]  # bad item / too few / too many
+
+
 def test_custom_rule_kind_registry(spark):
     register_rule_kind(
         "even",

@@ -116,6 +116,47 @@ def compile_row_rule(rule: Rule) -> Column:
         # XsdAssert semantics (assertions.py:69-72): non-true ⇒ violation,
         # so a NULL assertion result fails (coalesce to false).
         ok = F.coalesce(F.expr(sql).cast("boolean"), F.lit(False))
+    elif k == "type_union":
+        # XsdUnion analog (simple_types.py:887-898): value is valid iff it
+        # decodes as at least one member type — first-match-wins cascade
+        # of try_cast; validity only needs "any member succeeds".
+        types = rule.param("types")
+        if not types:
+            raise RuleCompileError(f"{rule.rule_id}: type_union needs params.types")
+        any_ok = None
+        for t in types:
+            cast_ok = c.try_cast(t).isNotNull()
+            any_ok = cast_ok if any_ok is None else (any_ok | cast_ok)
+        ok = _passes_when_null(c, any_ok)
+    elif k == "list_items":
+        # XsdList analog (simple_types.py:726-732): whitespace-separated
+        # items, each valid against the item type/pattern; forall keeps it
+        # one codegen expression.
+        delimiter = rule.param("delimiter", r"\s+")
+        items = F.filter(
+            F.split(c, delimiter), lambda x: F.length(x) > 0
+        )
+        item_type = rule.param("item_type")
+        item_pattern = rule.param("item_pattern")
+        checks = []
+        if item_type:
+            checks.append(lambda x: x.try_cast(item_type).isNotNull())
+        if item_pattern:
+            java_re = xsd_patterns_to_java([item_pattern])
+            checks.append(lambda x: x.rlike(java_re))
+        if not checks:
+            raise RuleCompileError(
+                f"{rule.rule_id}: list_items needs item_type and/or item_pattern"
+            )
+        item_ok = lambda x: checks[0](x) if len(checks) == 1 else (checks[0](x) & checks[1](x))  # noqa: E731
+        all_ok = F.forall(items, item_ok)
+        lo = rule.param("min_items")
+        hi = rule.param("max_items")
+        if lo is not None:
+            all_ok = all_ok & (F.size(items) >= int(lo))
+        if hi is not None:
+            all_ok = all_ok & (F.size(items) <= int(hi))
+        ok = _passes_when_null(c, all_ok)
     elif k == "finite":
         # finite_number_validator analog (builtins.py:66-71): not NaN/Inf
         ok = _passes_when_null(
@@ -162,6 +203,8 @@ def violation_reason(rule: Rule) -> str:
         "assertion_sql": f"assertion failed: {p.get('sql')}",
         "whitespace": f"value of {rule.column!r} not whiteSpace-{p.get('mode', 'collapse')} normalized",
         "finite": f"value of {rule.column!r} is NaN or infinite",
+        "type_union": f"value of {rule.column!r} matches no union member type {p.get('types')}",
+        "list_items": f"list items of {rule.column!r} fail the item constraints",
     }.get(rule.kind, rule.kind)
     if rule.kind in CUSTOM_ROW_KINDS:
         _, reason_fn = CUSTOM_ROW_KINDS[rule.kind]

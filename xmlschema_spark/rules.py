@@ -48,6 +48,8 @@ ROW_KINDS = frozenset(
         "assertion_sql",
         "whitespace",
         "finite",
+        "type_union",
+        "list_items",
     }
 )
 SET_KINDS = frozenset({"unique", "key", "keyref"})
@@ -77,7 +79,10 @@ _RANGE_KINDS = {"min", "max", "min_exclusive", "max_exclusive"}
 _DIGIT_KINDS = {"total_digits", "fraction_digits"}
 
 _APPLICABLE: dict[str, frozenset[str]] = {
-    "string": frozenset(_LENGTH_KINDS | _RANGE_KINDS | {"pattern", "enumeration", "whitespace"}),
+    "string": frozenset(
+        _LENGTH_KINDS | _RANGE_KINDS
+        | {"pattern", "enumeration", "whitespace", "type_union", "list_items"}
+    ),
     "binary": frozenset(_LENGTH_KINDS),
     "numeric": frozenset(_RANGE_KINDS | _DIGIT_KINDS | {"enumeration", "finite"}),
     "temporal": frozenset(_RANGE_KINDS | {"enumeration"}),
