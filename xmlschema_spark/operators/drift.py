@@ -5,9 +5,9 @@ No reference analog — a north-star addition (SURVEY.md §2.8): each
 partition's distribution of a numeric column is compared against a
 reference distribution (by default the whole table's).
 
-- **PSI** is fully expressible in SQL: bucketize → per-partition and
-  reference bucket proportions → Σ (p−q)·ln(p/q). Two shuffles on tiny
-  keys (partition, bucket); scales trivially.
+- **PSI**: ONE distributed (partition, bucket) histogram aggregation;
+  the Σ (p−q)·ln(p/q) arithmetic runs driver-side in numpy on the tiny
+  result (SQL fallback above a cell cap — see ``psi``).
 - **KS** uses ``applyInPandas`` per partition (vectorized numpy, no
   per-row Python): exact empirical CDF vs a reference CDF evaluated on a
   quantile grid. Grid is computed once (approx_percentile, one pass) and
