@@ -248,6 +248,21 @@ def q_type_cast_events(spark, sf_dir):
     return v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_report_by_rule_orders(spark, sf_dir):
+    """Report formatter (converters analog, converters.py:44,330+):
+    per-rule grouped report with top-10 sample row ids."""
+    from xmlschema_spark.report import format_report
+
+    df = _t(spark, sf_dir, "orders")
+    eng = ValidationEngine(_orders_rules(), id_col="o_orderkey", partition_col="o_orderpriority")
+    v = eng.row_violations(df, run_id="r")
+    rep = format_report(v, "by_rule")
+    return rep.select(
+        "rule_id", "severity", "n_violations",
+        F.concat_ws(",", "sample_rows").alias("sample_rows"),
+    )
+
+
 def q_union_type_events(spark, sf_dir):
     """XsdUnion analog: valid iff any member type decodes (first-match
     try_cast cascade, simple_types.py:887-898)."""
@@ -514,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "occurs_words_docs": q_occurs_words_docs,
         "digits_lineitem": q_digits_lineitem,
         "type_cast_events": q_type_cast_events,
+        "report_by_rule_orders": q_report_by_rule_orders,
         "union_type_events": q_union_type_events,
         "list_items_docs": q_list_items_docs,
         "finite_events": q_finite_events,
@@ -738,6 +754,28 @@ SELECT * FROM (
         "type_cast_events": """
 SELECT 'k_int' AS rule_id, count(*)::BIGINT AS n
 FROM events WHERE event_id % 7 = 0 AND TRY_CAST(event_type AS INTEGER) IS NULL
+""",
+        "report_by_rule_orders": """
+WITH v AS (
+  SELECT 'status_enum' AS rule_id, CAST(o_orderkey AS VARCHAR) AS row_id FROM orders
+   WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
+  UNION ALL
+  SELECT 'price_min', CAST(o_orderkey AS VARCHAR) FROM orders
+   WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice >= 2000)
+  UNION ALL
+  SELECT 'price_max', CAST(o_orderkey AS VARCHAR) FROM orders
+   WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice <= 450000)
+  UNION ALL
+  SELECT 'prio_pattern', CAST(o_orderkey AS VARCHAR) FROM orders
+   WHERE o_orderpriority IS NOT NULL
+     AND NOT regexp_full_match(o_orderpriority, '(?:[1-5]-[A-Z]+)')
+  UNION ALL
+  SELECT 'price_priority', CAST(o_orderkey AS VARCHAR) FROM orders
+   WHERE NOT coalesce(o_orderstatus <> 'P' OR o_totalprice <= 400000, FALSE)
+)
+SELECT rule_id, 'error' AS severity, count(*)::BIGINT AS n_violations,
+       array_to_string(list_slice(list_sort(list(row_id)), 1, 10), ',') AS sample_rows
+FROM v GROUP BY rule_id
 """,
         "union_type_events": """
 SELECT 'u_int_date' AS rule_id, count(*)::BIGINT AS n

@@ -46,5 +46,13 @@ def test_manifest_fixture(spark, name, gen_kwargs, expected):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    res.unpersist()
     assert by_rule == expected, f"{name}: got {by_rule}, expected {expected}"
+
+    if name == "pattern_violations":
+        # golden ROWS, not just counts: the bad_id family rewrites ids to
+        # "BAD ID <i>" for the first 10 indices — exactly those must violate
+        got_rows = sorted(
+            r.row_id for r in res.violations.filter(F.col("rule_id") == "id_pattern").collect()
+        )
+        assert got_rows == sorted(f"BAD ID {i}" for i in range(10))
+    res.unpersist()
