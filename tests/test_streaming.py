@@ -58,3 +58,38 @@ def test_validate_stream_foreachbatch(spark, tmp_path):
         assert out.filter(F.col("rule_id") == "id_unique").count() == 0
     finally:
         q.stop()
+
+
+def test_windowed_verdicts_emit_after_watermark(spark):
+    """Event-time windowed verdict aggregation with late-data handling:
+    rows emit once the watermark passes the window end."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+        .select(
+            F.col("timestamp"), F.col("value"),
+            (F.col("value") % 2).cast("string").alias("pt"),
+        )
+    )
+    from xmlschema_spark.streaming.validate import windowed_verdicts
+
+    eng = ValidationEngine(
+        RuleSet([Rule("v_max", "max", "value", {"value": 100})]),
+        id_col="value", partition_col="pt",
+    )
+    wv = windowed_verdicts(eng, stream, "timestamp", window="5 seconds", watermark="5 seconds")
+    assert wv.isStreaming
+    q = wv.writeStream.outputMode("append").format("memory").queryName("wv_t").start()
+    try:
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline and not rows:
+            time.sleep(5)
+            rows = spark.sql("SELECT * FROM wv_t").collect()
+        assert rows, "no windowed verdicts emitted before deadline"
+        by_part = {r.partition_id: r for r in rows}
+        # values 0..~ : everything above 100 violates; early windows FAIL
+        assert any(r.status == "FAIL" for r in rows)
+        assert all(r.rows_checked >= r.violation_count for r in rows)
+        assert set(by_part) <= {"0", "1"}
+    finally:
+        q.stop()
