@@ -93,3 +93,42 @@ def test_windowed_verdicts_emit_after_watermark(spark):
         assert set(by_part) <= {"0", "1"}
     finally:
         q.stop()
+
+
+def test_cumulative_verdicts_stateful(spark):
+    """applyInPandasWithState: running per-partition totals grow across
+    micro-batches and never reset."""
+    from xmlschema_spark.streaming.stateful import cumulative_verdicts
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "300").load()
+        .select(F.col("value"), (F.col("value") % 2).cast("string").alias("pt"))
+    )
+    eng = ValidationEngine(
+        RuleSet([Rule("v_max", "max", "value", {"value": 50})]),
+        id_col="value", partition_col="pt",
+    )
+    cv = cumulative_verdicts(eng, stream)
+    assert cv.isStreaming
+    q = cv.writeStream.outputMode("update").format("memory").queryName("cv_t").start()
+    try:
+        deadline = time.time() + 90
+        snapshots = []
+        while time.time() < deadline:
+            time.sleep(6)
+            rows = spark.sql(
+                "SELECT partition_id, max(rows_checked) rc, max(violation_count) vc "
+                "FROM cv_t GROUP BY partition_id"
+            ).collect()
+            if rows:
+                snapshots.append({r.partition_id: (r.rc, r.vc) for r in rows})
+            if len(snapshots) >= 2 and snapshots[-1] != snapshots[0]:
+                break
+        assert len(snapshots) >= 2, "no stateful output observed"
+        first, last = snapshots[0], snapshots[-1]
+        # running totals are monotone per partition
+        for p in first:
+            assert last.get(p, (0, 0)) >= first[p]
+        assert any(v[1] > 0 for v in last.values())  # values > 50 violate
+    finally:
+        q.stop()
