@@ -1,4 +1,6 @@
 from xmlschema_spark.streaming.validate import (  # noqa: F401
     streaming_row_violations,
     validate_stream,
+    windowed_verdicts,
 )
+from xmlschema_spark.streaming.stateful import cumulative_verdicts  # noqa: F401
