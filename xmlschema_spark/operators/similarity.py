@@ -236,13 +236,27 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 7,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold, candidate-limited to same-LSH-bucket
     pairs → (id_a, id_b, cosine). High thresholds pair with more planes
-    (near-identical vectors share all sign bits with high probability)."""
+    (near-identical vectors share all sign bits with high probability).
+
+    ``max_bucket_size`` drops pathologically dense buckets (e.g. a
+    zero-vector cluster) before the quadratic within-bucket pairing — the
+    same skew guard as hot-key salting / MinHash bucket caps. Dropped
+    buckets mean dropped coverage for their members; raise n_planes to
+    split them instead of raising the cap."""
     dim = len(df.select(vec_col).first()[0])
     u = with_normalized(df.select(F.col(id_col).alias("id"), vec_col), vec_col, "u")
     u = u.withColumn("bucket", _hyperplane_signature(F.col("u"), dim, n_planes, seed))
+    hot = (
+        u.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select("bucket")
+    )
+    u = u.join(F.broadcast(hot), "bucket", "left_anti")
     a, b = u.alias("a"), u.alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
