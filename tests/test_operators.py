@@ -178,6 +178,30 @@ def test_ks_detects_shift(spark):
     assert ks["p1"] > 0.5
 
 
+def test_resize_images(spark):
+    from xmlschema_spark.operators import multimodal
+    from xmlschema_spark.functions import codec
+    from xmlschema_spark.sources.images import generate_images_df
+
+    df = generate_images_df(spark, 20, seed=8, corrupt_frac=0.1, distributed=False)
+    out = multimodal.resize_images(df, out_w=10, out_h=12).collect()
+    assert len(out) == 18  # corrupt rows skipped
+    for r in out:
+        assert (r.w, r.h, r.fmt) == (10, 12, "png")
+        pixels, fmt = codec.decode_image(bytes(r.bytes))
+        assert fmt == "png" and pixels.shape == (12, 10, 3)
+
+
+def test_extract_frames_is_declared_stub(spark):
+    from xmlschema_spark.operators import multimodal
+
+    df = spark.createDataFrame([("v1", b"xx")], "video_id string, bytes binary")
+    frames = multimodal.extract_frames(df)
+    assert [f.name for f in frames.schema.fields] == ["video_id", "frame_idx", "bytes"]
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        frames.collect()
+
+
 def test_extract_features(spark):
     from xmlschema_spark.operators import multimodal
     from xmlschema_spark.sources.images import generate_images_df

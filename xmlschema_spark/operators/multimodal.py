@@ -238,6 +238,8 @@ def extract_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
             raise NotImplementedError(
                 "video decode requires ffmpeg/av — not available in this environment"
             )
-        yield  # pragma: no cover
+        return
+        yield  # generator marker; empty partitions yield nothing (a bare
+        #        yield would emit None and trip the Arrow serializer first)
 
     return df.mapInPandas(batches, schema=schema)
