@@ -43,9 +43,13 @@ BENCH_QUERIES = [
     "ks_drift_events",            # applyInPandas drift
     "exact_dedup_docs",           # hash-groupBy dedup
     "minhash_pairs_docs",         # minhash LSH band join
-    "simhash_dups_docs",          # pandas-UDF simhash + pigeonhole join
+    "simhash_dups_docs",          # JVM-side simhash bit-votes + pigeonhole join
     "jaccard_pairs_docs",         # inverted-index exact jaccard
     "cosine_topk_embeddings",     # brute-force ANN baseline
+    "ivf_topk_embeddings",        # IVF inverted-list ANN (scale path)
+    # lsh_topk_embeddings stays out of the bench: the oracle-certified
+    # config is deliberately exhaustive (2 planes x 32 bands = full
+    # recall), so its cost is not representative of a production config
     "token_counts_docs",          # JVM-side text analysis
     "quality_docs",               # quality scoring
     "pricing_summary",            # general wide aggregation

@@ -1,9 +1,24 @@
 """Two-parallelism scaling proof (BASELINE.json north rule).
 
 A real N vs 4N executor-cluster comparison is impossible in this sandbox,
-so per BASELINE.md the substitute is: the IDENTICAL job + input at
-``local[8]`` vs ``local[32]``, reporting throughput at both and the
-scaling efficiency ``tput_32 / (4 * tput_8)`` (target >= 0.8).
+so per BASELINE.md the substitute is the IDENTICAL job + input at
+``local[8]`` vs ``local[32]`` — i.e. "N and 4N cores". To make the two
+levels genuinely N and 4N cores of *hardware* (not just N and 4N task
+slots on the same 32-core box), each measurement process is pinned with
+``sched_setaffinity`` to exactly ``cores`` CPUs before the JVM starts:
+the JVM, its GC/shuffle pools (Java 17 sizes them from the affinity
+mask), and every forked Python worker inherit the mask. Without pinning,
+``local[8]`` silently consumes ~16 hardware threads during the pandas-UDF
+decode phase (8 JVM task threads + 8 Python workers), so the "N" level
+is not N — that mismatch, not the job, produced the 0.54 reading in
+round 1.
+
+A secondary, unpinned run of the literal ``local[8]`` vs ``local[32]``
+pair is also measured (never hardcoded) with ``spark.task.cpus=2`` —
+the job-level fix for Python-worker oversubscription: each task's slot
+accounts for its JVM thread AND its Arrow worker process, so local[k]
+schedules k/2 concurrent tasks and the thread footprint equals the core
+grant at both levels.
 
 Each measurement runs in a fresh subprocess (fresh JVM) so the two
 parallelism levels share nothing. The job is the full image
@@ -11,7 +26,7 @@ constraint-suite validation (row facets + unique/key + decode/PSNR/phash
 pandas UDFs + PSI drift + verdicts) over a deterministic synthetic
 image+caption table — same seed in both runs.
 
-Usage: python scripts/scaling_bench.py [--quick]
+Usage: python scripts/scaling_bench.py [--quick] [--skip-secondary]
 Writes BENCH.md at the repo root.
 """
 
@@ -27,14 +42,18 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 CHILD = r"""
-import json, sys, time
+import json, os, sys, time
+cores = {cores}
+if {pin}:
+    # pin BEFORE the JVM starts: local[cores] then really has `cores`
+    # hardware cores, exactly like an executor cluster of that size.
+    os.sched_setaffinity(0, set(range(cores)))
 sys.path.insert(0, {repo!r})
 from xmlschema_spark.engine import ValidationEngine
 from xmlschema_spark.session import get_spark
 from xmlschema_spark.sources.images import generate_images_df
 from xmlschema_spark.sources.rules_loader import default_image_ruleset
 
-cores = {cores}
 n = {n}
 # shuffle partitions scale with the cluster (2 x cores, the get_spark
 # default) exactly as they would when sizing a real N vs 4N cluster.
@@ -43,10 +62,10 @@ n = {n}
 # 11.6-15.9s for the violations job at local[32]), distorting the
 # parallelism comparison; stage shapes here are static so it buys nothing.
 # (Production runs keep AQE on — skew-join splitting matters at 10^12 rows.)
-spark = get_spark(
-    "scaling", cores=cores,
-    extra_conf={{"spark.sql.adaptive.enabled": "false"}},
-)
+conf = {{"spark.sql.adaptive.enabled": "false"}}
+if {task_cpus} > 1:
+    conf["spark.task.cpus"] = str({task_cpus})
+spark = get_spark("scaling", cores=cores, extra_conf=conf)
 df = generate_images_df(
     spark, n, seed=1234, n_parts=64,
     null_frac=0.02, bad_dims_frac=0.02, corrupt_frac=0.02, dup_id_frac=0.02,
@@ -92,10 +111,14 @@ print("RESULT " + json.dumps({{"cores": cores, "sec": round(best, 3),
 """
 
 
-def run_level(cores: int, n: int, min_side: int, max_side: int, trials: int) -> dict:
+def run_level(
+    cores: int, n: int, min_side: int, max_side: int, trials: int,
+    pin: bool = True, task_cpus: int = 1,
+) -> dict:
     code = CHILD.format(
         repo=str(REPO), cores=cores, n=n, min_side=min_side,
-        max_side=max_side, trials=trials,
+        max_side=max_side, trials=trials, pin="True" if pin else "False",
+        task_cpus=task_cpus,
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
@@ -110,32 +133,106 @@ def run_level(cores: int, n: int, min_side: int, max_side: int, trials: int) -> 
 
 def main():
     quick = "--quick" in sys.argv
+    skip_secondary = "--skip-secondary" in sys.argv
+    skip_oversub = "--skip-oversub" in sys.argv
     n = 3000 if quick else int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", "400000"))
     trials = 1 if quick else 2
     min_side, max_side = 64, 128
-    n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
     n_hi = 4 * n_lo
 
-    r_lo = run_level(n_lo, n, min_side, max_side, trials)
-    r_hi = run_level(n_hi, n, min_side, max_side, trials)
+    # PRIMARY: local[N] pinned to N hardware cores vs local[4N] pinned to
+    # 4N cores, with spark.task.cpus=2 at BOTH levels so each pandas-UDF
+    # task's resource grant covers its JVM thread AND its Arrow Python
+    # worker — the executor sizing a production cluster would use.
+    r_lo = run_level(n_lo, n, min_side, max_side, trials, pin=True, task_cpus=2)
+    r_hi = run_level(n_hi, n, min_side, max_side, trials, pin=True, task_cpus=2)
     eff = r_hi["images_per_sec"] / (4 * r_lo["images_per_sec"])
+
+    # SECONDARY: the literal unpinned local[8] vs local[32] pair,
+    # task.cpus=2 — measured every invocation, never hardcoded.
+    sec_md, sec_json = "", None
+    if not skip_secondary:
+        s_lo = run_level(n_lo, n, min_side, max_side, trials, pin=False, task_cpus=2)
+        s_hi = run_level(n_hi, n, min_side, max_side, trials, pin=False, task_cpus=2)
+        s_eff = s_hi["images_per_sec"] / (4 * s_lo["images_per_sec"])
+        sec_json = {"eff": round(s_eff, 3), "r_lo": s_lo, "r_hi": s_hi}
+        sec_md = f"""
+## Secondary: the literal unpinned `local[{n_lo}]` vs `local[{n_hi}]` pair
+
+Same job (still `spark.task.cpus=2`), no affinity pinning — the exact
+pair named in BASELINE.md. Unpinned, the N level's ~{n_lo} busy threads
+sit on an otherwise idle {os.cpu_count()}-core box (driver, GC and OS
+noise ride on free cores), which FLATTERS the denominator — so the
+efficiency below is a conservative lower-ish bound relative to a true
+{n_lo}-core cluster.
+
+| parallelism | wall sec | images/sec |
+|---|---|---|
+| local[{n_lo}]  (N)  | {s_lo['sec']} | {s_lo['images_per_sec']} |
+| local[{n_hi}] (4N) | {s_hi['sec']} | {s_hi['images_per_sec']} |
+
+Efficiency = {s_hi['images_per_sec']} / (4 x {s_lo['images_per_sec']}) =
+**{s_eff:.3f}** ({"PASS" if s_eff >= 0.8 else "FAIL"} vs the 0.8 target).
+"""
+
+    # DIAGNOSIS: the same pinned pair with default task.cpus=1 — the
+    # config whose 2x Python-worker oversubscription produced round 1's
+    # 0.54 reading. Measured (not hardcoded) to document WHY task.cpus=2
+    # is the right job config for pandas-UDF-heavy stages.
+    over_md, over_json = "", None
+    if not skip_oversub:
+        o_lo = run_level(n_lo, n, min_side, max_side, trials, pin=True, task_cpus=1)
+        o_hi = run_level(n_hi, n, min_side, max_side, trials, pin=True, task_cpus=1)
+        o_eff = o_hi["images_per_sec"] / (4 * o_lo["images_per_sec"])
+        over_json = {"eff": round(o_eff, 3), "r_lo": o_lo, "r_hi": o_hi}
+        over_md = f"""
+## Diagnosis: default `task.cpus=1` (oversubscribed), pinned
+
+With the default one-slot-per-core sizing, every running pandas-UDF task
+occupies TWO OS threads (JVM task thread + Arrow Python worker), so each
+level runs 2x more busy threads than it has cores. The small level is
+flattered (its extra threads hide JVM<->Python handoff latency), the big
+level pays real contention — which is why this config cannot evidence
+the job's scalability:
+
+| parallelism | cores | task.cpus | wall sec | images/sec |
+|---|---|---|---|---|
+| local[{n_lo}]  | {n_lo} | 1 | {o_lo['sec']} | {o_lo['images_per_sec']} |
+| local[{n_hi}] | {n_hi} | 1 | {o_hi['sec']} | {o_hi['images_per_sec']} |
+
+Efficiency {o_eff:.3f}. Note local[{n_hi}] itself is
+{round((o_hi['sec'] / r_hi['sec'] - 1) * 100)}% slower than with
+task.cpus=2 ({o_hi['sec']}s vs {r_hi['sec']}s): right-sizing the task
+grant is an absolute-throughput win, not just a ratio fix.
+"""
 
     md = f"""# BENCH — two-parallelism scaling proof
 
 North rule (`BASELINE.json`): throughput scaling efficiency
 `throughput_4N / (4 x throughput_N)` >= 0.8 between clusters of N and 4N
-executors. Sandbox substitute (per BASELINE.md): the identical job + input
-at two `local[k]` parallelism levels, fresh JVM each.
+executors. Sandbox substitute (per BASELINE.md and the driver brief: "the
+same job at two parallelism levels (e.g. local[8] and local[32], or N and
+4N cores)"): the identical job + input at `local[{n_lo}]` and
+`local[{n_hi}]`, fresh JVM each, plus affinity pinning so the two levels
+really are N and 4N hardware cores.
 
-**Why N={n_lo}, 4N={n_hi} on this 32-core box**: every pandas-UDF core runs a
-JVM task thread PLUS a separate Python worker process, so a level using k
-cores consumes ~2k hardware threads during the Arrow decode phase. k={n_hi}
-is the largest 4N level whose 2x footprint still fits the 32 physical
-cores; at local[32] the 64 busy threads oversubscribe the box 2x and the
-measurement reflects the sandbox's core count, not the job's scalability
-(measured below for transparency). On a real cluster this is a
-provisioning concern (executor cores are sized to leave worker headroom),
-not a job property.
+## Primary: `local[{n_lo}]` on {n_lo} cores vs `local[{n_hi}]` on {n_hi} cores, `spark.task.cpus=2`
+
+Two configuration facts, identical at both levels:
+
+1. **Affinity pinning** (`sched_setaffinity` before the JVM starts): the
+   process, its JVM pools (Java 17 sizes them from the mask) and every
+   forked Python worker are confined to exactly N (resp. 4N) hardware
+   cores — a faithful stand-in for clusters of N and 4N executor cores.
+   Unpinned, `local[{n_lo}]` would silently consume ~{2 * n_lo} hardware
+   threads during the decode phase and the ratio would measure the
+   sandbox's core count, not the job.
+2. **`spark.task.cpus=2`**: each task's resource grant covers its JVM
+   thread AND its Arrow-decode Python worker, so the busy-thread
+   footprint equals the core grant at both levels. This is the executor
+   sizing a production pandas-UDF job ships with (see Diagnosis below:
+   it is also an absolute-throughput win at {n_hi} cores).
 
 **Job**: the FULL default constraint suite in its production throughput
 shape — `validate_one_pass` (every row facet + Arrow-batched decode /
@@ -149,22 +246,19 @@ partitions, seed 1234; generation distributed (mapInPandas) and untimed;
 plan-compile warm-up untimed; best of {trials} trial(s) per level; no
 cross-trial cache reuse.
 
-| parallelism | wall sec | images/sec |
-|---|---|---|
-| local[{n_lo}]  (N)  | {r_lo['sec']} | {r_lo['images_per_sec']} |
-| local[{n_hi}] (4N) | {r_hi['sec']} | {r_hi['images_per_sec']} |
+| parallelism | hardware cores | wall sec | images/sec |
+|---|---|---|---|
+| local[{n_lo}]  (N)  | {n_lo} | {r_lo['sec']} | {r_lo['images_per_sec']} |
+| local[{n_hi}] (4N) | {n_hi} | {r_hi['sec']} | {r_hi['images_per_sec']} |
 
 **Scaling efficiency = {r_hi['images_per_sec']} / (4 x {r_lo['images_per_sec']}) =
 {eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
-
-Secondary data point, same job at 700k images, local[8] vs local[32]:
-6273 vs 13413 images/sec (efficiency 0.54) — bounded by the 2x thread
-oversubscription above, reported for completeness.
-
+{sec_md}{over_md}
 Reproduce: `python scripts/scaling_bench.py` (measured {date.today().isoformat()}).
 """
     (REPO / "BENCH.md").write_text(md)
-    print(json.dumps({"eff": round(eff, 3), "r_lo": r_lo, "r_hi": r_hi}))
+    print(json.dumps({"eff": round(eff, 3), "r_lo": r_lo, "r_hi": r_hi,
+                      "secondary": sec_json, "oversub": over_json}))
 
 
 if __name__ == "__main__":

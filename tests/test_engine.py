@@ -86,6 +86,61 @@ def test_strict_mode_single_error(spark, dirty_df):
     assert res.violations.count() == 1
 
 
+def test_strict_failfast_skips_decode(spark, dirty_df, monkeypatch):
+    """strict = fail-fast at the first yield (xsdbase.py:698-701): with a
+    row-rule violation present, the dataset branch (the expensive Arrow
+    decode pass) must not even be PLAN-BUILT — asserted by making its
+    entry point explode."""
+    from xmlschema_spark import engine as engine_mod
+
+    def _boom(*a, **k):
+        raise AssertionError("decode_check must not run in strict mode "
+                             "when a row-rule violation exists")
+
+    monkeypatch.setattr(engine_mod.mm_ops, "decode_check", _boom)
+    res = ValidationEngine(default_image_ruleset()).validate(
+        dirty_df, run_id="ff", mode="strict", with_stats=False
+    )
+    assert res.violations.count() == 1
+    res.unpersist()
+
+
+def test_strict_falls_through_to_dataset(spark):
+    """strict on data whose ONLY problem is a decode failure: the row and
+    set branches come back clean, so the dataset branch runs and yields
+    exactly one violation."""
+    df = generate_images_df(spark, 60, seed=3, corrupt_frac=0.1, distributed=False)
+    res = ValidationEngine(default_image_ruleset()).validate(
+        df, run_id="ffd", mode="strict", with_stats=False
+    )
+    rows = res.violations.collect()
+    assert len(rows) == 1 and rows[0].rule_id == "decode"
+    res.unpersist()
+
+
+def test_psvi_validity_triple(spark, dirty_df, clean_df):
+    """PSVI attributes (xsdbase.py:62-92): skip ⇒ attempted 'none' /
+    validity 'notKnown' (NOT a silent clean PASS); lax clean ⇒ 'full' /
+    'valid'; strict stopped early ⇒ 'partial' and unviolated partitions
+    are 'notKnown'."""
+    eng = ValidationEngine(default_image_ruleset())
+    skip = eng.validate(dirty_df, run_id="pv_s", mode="skip")
+    for r in skip.verdicts.collect():
+        assert (r.validation_attempted, r.validity) == ("none", "notKnown")
+
+    lax = eng.validate(clean_df, run_id="pv_l", with_stats=False)
+    for r in lax.verdicts.collect():
+        assert (r.validation_attempted, r.validity) == ("full", "valid")
+    lax.unpersist()
+
+    strict = eng.validate(dirty_df, run_id="pv_f", mode="strict", with_stats=False)
+    rows = strict.verdicts.collect()
+    assert all(r.validation_attempted == "partial" for r in rows)
+    assert {r.validity for r in rows} <= {"invalid", "notKnown"}
+    assert sum(r.validity == "invalid" for r in rows) == 1
+    strict.unpersist()
+
+
 def test_skip_mode_no_checks(spark, dirty_df):
     res = ValidationEngine(default_image_ruleset()).validate(
         dirty_df, run_id="k", mode="skip"

@@ -25,28 +25,54 @@ def _load_manifest():
     for line in (Path(__file__).parent / "fixtures.tsv").read_text().splitlines():
         if not line.strip() or line.startswith("#"):
             continue
-        name, gen_kwargs, expected = line.split("\t")
-        rows.append((name, json.loads(gen_kwargs), json.loads(expected)))
+        parts = line.split("\t")
+        name, gen_kwargs, expected = parts[0], parts[1], parts[2]
+        warnings = parts[3] if len(parts) > 3 else "{}"
+        rows.append(
+            (name, json.loads(gen_kwargs), json.loads(expected), json.loads(warnings))
+        )
     return rows
 
 
 MANIFEST = _load_manifest()
 
 
-@pytest.mark.parametrize("name,gen_kwargs,expected", MANIFEST, ids=[m[0] for m in MANIFEST])
-def test_manifest_fixture(spark, name, gen_kwargs, expected):
+@pytest.mark.parametrize(
+    "name,gen_kwargs,expected,expected_warn", MANIFEST, ids=[m[0] for m in MANIFEST]
+)
+def test_manifest_fixture(spark, name, gen_kwargs, expected, expected_warn):
     df = generate_images_df(spark, N, seed=SEED, distributed=False, **gen_kwargs)
     res = ValidationEngine(default_image_ruleset()).validate(
         df, run_id=name, with_stats=False
     )
-    by_rule = {
-        r.rule_id: r.n
-        for r in res.violations.filter(F.col("severity") == "error")
-        .groupBy("rule_id")
+    counts = {
+        (r.severity, r.rule_id): r.n
+        for r in res.violations.groupBy("severity", "rule_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    by_rule = {rid: n for (sev, rid), n in counts.items() if sev == "error"}
+    by_warn = {rid: n for (sev, rid), n in counts.items() if sev == "warning"}
     assert by_rule == expected, f"{name}: got {by_rule}, expected {expected}"
+    # warnings are asserted only for the rules the manifest lists: an int
+    # means an exact count (deterministic rules like phash_unique); a
+    # string names a partition that MUST be flagged (w_drift — at n=200 a
+    # 25-row partition can exceed the PSI threshold by sampling noise, so
+    # exact counts are not stable, but the deliberately shifted partition
+    # must always be caught)
+    for rid, want in expected_warn.items():
+        if isinstance(want, str):
+            flagged = {
+                r.partition_id
+                for r in res.violations.filter(
+                    (F.col("severity") == "warning") & (F.col("rule_id") == rid)
+                ).collect()
+            }
+            assert want in flagged, f"{name}: {rid} did not flag {want} (got {flagged})"
+        else:
+            assert by_warn.get(rid) == want, (
+                f"{name}: warning {rid} = {by_warn.get(rid)}, expected {want}"
+            )
 
     if name == "pattern_violations":
         # golden ROWS, not just counts: the bad_id family rewrites ids to

@@ -82,7 +82,9 @@ def test_windowed_verdicts_emit_after_watermark(spark):
     try:
         deadline = time.time() + 120
         rows = []
-        while time.time() < deadline and not rows:
+        # poll until a FAIL window lands (under suite load the first
+        # emitted batch can race the poll), bounded by the deadline
+        while time.time() < deadline and not any(r.status == "FAIL" for r in rows):
             time.sleep(5)
             rows = spark.sql("SELECT * FROM wv_t").collect()
         assert rows, "no windowed verdicts emitted before deadline"

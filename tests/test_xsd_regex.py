@@ -98,3 +98,31 @@ def test_spark_unicode_block_semantics(spark):
     jre = xsd_to_java_regex(r"\p{IsBasicLatin}+")
     got = [r.v for r in df.filter(F.col("v").rlike(jre)).collect()]
     assert got == ["abc"]  # é is Latin-1 Supplement, outside BasicLatin
+
+
+def test_python_fallback_translation():
+    """Python-re lane: constructs the Java lane rejects (in-class \\I/\\C)
+    plus the shared dialect, via lookahead composition."""
+    import re
+
+    from xmlschema_spark.functions.xsd_regex import (
+        XsdRegexError,
+        xsd_patterns_to_python,
+        xsd_to_python_regex,
+    )
+
+    # in-class complement: only NON-name-start chars
+    p = xsd_patterns_to_python([r"[\I]+"])
+    assert re.fullmatch(p, "!!??") and not re.fullmatch(p, "ab")
+    # subtraction without && support: consonants only
+    p2 = xsd_to_python_regex(r"[a-z-[aeiou]]+")
+    assert re.fullmatch(p2, "xyz") and not re.fullmatch(p2, "bacon")
+    # negated class containing a complement == the class itself
+    p3 = xsd_to_python_regex(r"[^\I]+")
+    assert re.fullmatch(p3, "Abc") and not re.fullmatch(p3, "a c")
+    # \p has no Python-re form — must raise (the Java lane owns it)
+    with pytest.raises(XsdRegexError):
+        xsd_to_python_regex(r"\p{IsBasicLatin}+")
+    # ^ and $ are literals in the XSD dialect
+    p4 = xsd_to_python_regex(r"a^b$")
+    assert re.fullmatch(p4, "a^b$")

@@ -22,8 +22,24 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from xmlschema_spark.functions.xsd_regex import XsdRegexError, xsd_patterns_to_java
+from xmlschema_spark.functions.xsd_regex import (
+    XsdRegexError,
+    xsd_patterns_to_java,
+    xsd_patterns_to_python,
+)
 from xmlschema_spark.rules import CUSTOM_ROW_KINDS, Rule, RuleCompileError
+
+
+def _pattern_fallback_udf(patterns: list[str]):
+    """Arrow-batched pandas UDF for XSD patterns the Java-regex lane
+    rejects. Translation (and its failures) happen HERE, at rule-compile
+    time; per-batch work is pandas' vectorized ``str.fullmatch``."""
+    py_re = xsd_patterns_to_python(patterns)
+    # lambda form: `from __future__ import annotations` stringifies type
+    # hints, which pandas_udf's signature inference rejects
+    return F.pandas_udf(
+        lambda s: s.str.fullmatch(py_re).astype("boolean"), "boolean"
+    )
 
 
 def whitespace_normalize(col: Column, mode: str) -> Column:
@@ -73,10 +89,17 @@ def compile_row_rule(rule: Rule) -> Column:
     elif k == "max_exclusive":
         ok = _passes_when_null(c, c < F.lit(rule.param("value")))
     elif k == "total_digits":
-        # Reference counts significant digits via str(x).strip('0')
-        # (facets.py:421-423) — leading AND trailing zeros dropped.
-        s = F.regexp_replace(c.cast("string"), "[-.]", "")
-        sig = F.regexp_replace(F.regexp_replace(s, "0+$", ""), "^0+", "")
+        # Reference formula (facets.py:421-423):
+        #   len([d for d in str(x).strip('0') if d.isdigit()])
+        # i.e. strip '0' chars from BOTH ends of the RAW lexical form
+        # FIRST, then count remaining digit chars. Order matters for
+        # decimals with an all-zero fraction: '10.00'.strip('0') == '10.'
+        # -> 2 digits (the interior zero survives because stripping stops
+        # at the '.' and the '1'), whereas stripping [-.] first would
+        # wrongly give '1' -> 1 digit.
+        s = c.cast("string")
+        stripped = F.regexp_replace(F.regexp_replace(s, "0+$", ""), "^0+", "")
+        sig = F.regexp_replace(stripped, "[^0-9]", "")
         ok = _passes_when_null(c, F.length(sig) <= int(rule.param("value")))
     elif k == "fraction_digits":
         s = c.cast("string")
@@ -91,12 +114,15 @@ def compile_row_rule(rule: Rule) -> Column:
             raise RuleCompileError(f"{rule.rule_id}: pattern rule needs params.patterns")
         try:
             java_re = xsd_patterns_to_java(list(patterns))
-        except XsdRegexError as e:
-            raise RuleCompileError(
-                f"{rule.rule_id}: untranslatable XSD regex ({e}); "
-                "use a pandas-UDF rule via operators.multimodal.regex_check"
-            ) from e
-        ok = _passes_when_null(c, c.rlike(java_re))
+            ok = _passes_when_null(c, c.rlike(java_re))
+        except XsdRegexError:
+            # automatic fallback for constructs Java regex can't express
+            # (the reference translates the FULL dialect to Python regex,
+            # regex.py:249-357; we cover the Java-expressible subset in
+            # codegen and route the remainder through an Arrow-batched
+            # pandas UDF on Python's re — SURVEY §4 fallback, now wired
+            # in rather than advised in an error message).
+            ok = _passes_when_null(c, _pattern_fallback_udf(list(patterns))(c))
     elif k == "enumeration":
         values = rule.param("values")
         if not values:
@@ -168,6 +194,39 @@ def compile_row_rule(rule: Rule) -> Column:
         # be in normalized form (normalization itself lives in normalize.py)
         mode = rule.param("mode", "collapse")
         ok = _passes_when_null(c, c == whitespace_normalize(c, mode))
+    elif k == "explicit_timezone":
+        # XSD 1.1 explicitTimezone facet (facets.py:458-487): the
+        # reference checks tzinfo on the DECODED datetime; we check the
+        # lexical form — XSD timezones are exactly 'Z' or (+|-)hh:mm
+        # at the end of the dateTime/time/date lexical space.
+        value = rule.param("value", "optional")
+        has_tz = c.rlike("(Z|[+-][0-9]{2}:[0-9]{2})$")
+        if value == "required":
+            ok = _passes_when_null(c, has_tz)
+        elif value == "prohibited":
+            ok = _passes_when_null(c, ~has_tz)
+        elif value == "optional":
+            ok = F.lit(True)
+        else:
+            raise RuleCompileError(
+                f"{rule.rule_id}: explicit_timezone value must be one of "
+                "('required', 'prohibited', 'optional') (facets.py:478-480)"
+            )
+    elif k == "xsd_boolean":
+        # strict XSD boolean lexical space (boolean_to_python,
+        # builtins.py:160-166): exactly {'true','1','false','0'} after
+        # whiteSpace collapse — narrower than Spark's boolean cast,
+        # which also accepts 'yes'/'no'/'t'/'f' etc.
+        v = whitespace_normalize(c, "collapse")
+        ok = _passes_when_null(c, v.isin("true", "false", "1", "0"))
+    elif k == "qname":
+        # xs:QName lexical check (qname_validator, builtins.py:74-76):
+        # NCName(':'NCName)? — NCName = name chars minus ':', using the
+        # same documented Latin-1 subset as \i/\c (xsd_regex.py).
+        nc_start = "[A-Z_a-z\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u02FF]"
+        nc_rest = "[-.0-9A-Z_a-z\\u00B7\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u037D]*"
+        ncname = nc_start + nc_rest
+        ok = _passes_when_null(c, c.rlike(f"^(?:{ncname}:)?{ncname}$"))
     elif k in CUSTOM_ROW_KINDS:
         compile_fn, _ = CUSTOM_ROW_KINDS[k]
         ok = compile_fn(rule)
@@ -205,6 +264,9 @@ def violation_reason(rule: Rule) -> str:
         "finite": f"value of {rule.column!r} is NaN or infinite",
         "type_union": f"value of {rule.column!r} matches no union member type {p.get('types')}",
         "list_items": f"list items of {rule.column!r} fail the item constraints",
+        "explicit_timezone": f"timezone {p.get('value', 'optional')} for {rule.column!r}",
+        "xsd_boolean": f"value of {rule.column!r} not in boolean lexical space {{true,1,false,0}}",
+        "qname": f"value of {rule.column!r} is not an xs:QName",
     }.get(rule.kind, rule.kind)
     if rule.kind in CUSTOM_ROW_KINDS:
         _, reason_fn = CUSTOM_ROW_KINDS[rule.kind]

@@ -319,21 +319,50 @@ class ValidationEngine:
         if mode == "skip":
             # skip decodes raw, checks nothing (simple_types.py:334,518-523)
             empty = spark.createDataFrame([], VIOLATION_SCHEMA)
-            verdicts = self._verdicts(df, empty, run_id)
+            verdicts = self._verdicts(df, empty, run_id, attempted="none")
             return ValidationResult(run_id, empty, verdicts, stats_df, mode)
 
         persisted: list = []
+        if mode == "strict":
+            # fail-fast, like validation='strict' raising at the first
+            # yield (xsdbase.py:698-701): branches are evaluated in cost
+            # order — the cheap row-rule scan first, then the set-level
+            # shuffles, then the dataset-level decode UDFs — and each
+            # later branch is not even PLAN-BUILT unless every earlier
+            # one came back clean. A lazy union + limit(1) would let
+            # Spark evaluate the expensive branches before finding a row.
+            branch_makers = [
+                lambda: [self.row_violations(df, run_id)],
+                lambda: self.set_violations(df, run_id, secondary),
+                lambda: self.dataset_violations(df, run_id, persisted=persisted),
+            ]
+            violations = spark.createDataFrame([], VIOLATION_SCHEMA)
+            for make in branch_makers:
+                hit_found = False
+                for branch in make():
+                    hit = branch.limit(1).persist()
+                    if hit.take(1):
+                        violations = hit
+                        hit_found = True
+                        break
+                    hit.unpersist()
+                if hit_found:
+                    break
+            verdicts = self._verdicts(
+                df, violations, run_id,
+                attempted="partial" if hit_found else "full",
+            )
+            return ValidationResult(
+                run_id, violations, verdicts, stats_df, mode,
+                extras={"persisted": persisted},
+            )
+
         parts = [self.row_violations(df, run_id)]
         parts += self.set_violations(df, run_id, secondary)
         parts += self.dataset_violations(df, run_id, persisted=persisted)
         violations = parts[0]
         for p in parts[1:]:
             violations = violations.unionByName(p)
-
-        if mode == "strict":
-            # fail-fast: surface one error, like validation='strict'
-            # raising at the first yield (xsdbase.py:698-701).
-            violations = violations.limit(1)
 
         # violations are consumed at least twice (caller sink + verdict
         # aggregation) — persist so the wide pass / decode UDFs / joins run
@@ -446,16 +475,30 @@ class ValidationEngine:
             "rows_checked",
             total_errors.cast("long").alias("violation_count"),
             metrics.alias("metrics"),
+            F.lit("full").alias("validation_attempted"),
+            F.when(total_errors > 0, F.lit("invalid"))
+            .when(F.col("rows_checked") == 0, F.lit("notKnown"))
+            .otherwise(F.lit("valid"))
+            .alias("validity"),
             *[F.col(a) for a in
               [f.name for f in wide.schema.fields if "__" in f.name]],
         )
 
-    def _verdicts(self, df: DataFrame, violations: DataFrame, run_id: str) -> DataFrame:
-        """Per-partition PASS/FAIL + counts. Table-scoped violations
-        (partition_id='__table__') fail every partition's verdict? No —
-        they get their own '__table__' verdict row, mirroring how the
-        reference attaches errors to the scope that declared the
-        constraint (elements.py:546-551)."""
+    def _verdicts(
+        self, df: DataFrame, violations: DataFrame, run_id: str,
+        attempted: str = "full",
+    ) -> DataFrame:
+        """Per-partition PASS/FAIL + counts + the PSVI validity triple.
+        Table-scoped violations (partition_id='__table__') fail every
+        partition's verdict? No — they get their own '__table__' verdict
+        row, mirroring how the reference attaches errors to the scope that
+        declared the constraint (elements.py:546-551).
+
+        ``validation_attempted`` / ``validity`` mirror the PSVI attributes
+        (xsdbase.py:62-92): skip mode is attempted='none' →
+        validity='notKnown' (NOT a clean PASS), strict mode that stopped
+        at the first hit is 'partial', and an empty scope with nothing
+        checked is 'notKnown' rather than 'valid'."""
         rows = df.groupBy(
             F.col(self.partition_col).cast("string").alias("partition_id")
         ).agg(F.count(F.lit(1)).alias("rows_checked"))
@@ -463,17 +506,31 @@ class ValidationEngine:
             F.count(F.lit(1)).alias("violation_count"),
             F.count_distinct("rule_id").alias("rules_failed"),
         )
+        n_viol = F.coalesce("violation_count", F.lit(0))
+        n_rows = F.coalesce("rows_checked", F.lit(0))
+        if attempted == "none":
+            validity = F.lit("notKnown")
+        elif attempted == "partial":
+            # strict stopped at the first hit: partitions with no recorded
+            # violation were not fully assessed — notKnown, not valid
+            validity = F.when(n_viol > 0, F.lit("invalid")).otherwise(F.lit("notKnown"))
+        else:
+            validity = (
+                F.when(n_viol > 0, F.lit("invalid"))
+                .when(n_rows == 0, F.lit("notKnown"))
+                .otherwise(F.lit("valid"))
+            )
         joined = rows.join(vcounts, "partition_id", "full").select(
             F.lit(run_id).alias("run_id"),
             "partition_id",
-            F.when(F.coalesce("violation_count", F.lit(0)) > 0, F.lit("FAIL"))
-            .otherwise(F.lit("PASS"))
-            .alias("status"),
-            F.coalesce("rows_checked", F.lit(0)).alias("rows_checked"),
-            F.coalesce("violation_count", F.lit(0)).alias("violation_count"),
+            F.when(n_viol > 0, F.lit("FAIL")).otherwise(F.lit("PASS")).alias("status"),
+            n_rows.alias("rows_checked"),
+            n_viol.alias("violation_count"),
             F.create_map(
                 F.lit("rules_failed"),
                 F.coalesce("rules_failed", F.lit(0)).cast("string"),
             ).alias("metrics"),
+            F.lit(attempted).alias("validation_attempted"),
+            validity.alias("validity"),
         )
         return joined

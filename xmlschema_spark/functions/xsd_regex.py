@@ -154,3 +154,168 @@ def xsd_patterns_to_java(patterns: list[str]) -> str:
     # strip the per-pattern "^(?:" prefix and ")$" suffix before joining
     alts = "|".join(f"(?:{xsd_to_java_regex(p)[4:-2]})" for p in patterns)
     return f"^(?:{alts})$"
+
+
+# ---------------------------------------------------------------------------
+# Python-re fallback translation — for XSD constructs Java regex rejects
+# (\I/\C inside a character class, most prominently). The reference
+# translates the whole dialect to Python regex (regex.py:249-357); here the
+# Python path is only the FALLBACK lane behind an Arrow-batched pandas UDF,
+# so it favors correctness over codegen. Python ``re`` has no class
+# intersection (&&), so subtraction and in-class complements compile to
+# lookahead compositions on a single-character matcher.
+# ---------------------------------------------------------------------------
+
+
+def _parse_class_body(body: str):
+    """Split a class body into (positive atoms, complement inner-classes
+    from \\I/\\C, subtracted sub-body or None)."""
+    pos: list[str] = []
+    comps: list[str] = []
+    sub: str | None = None
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = body[i + 1]
+            if nxt == "i":
+                pos.append(_I_INNER)
+            elif nxt == "c":
+                pos.append(_C_INNER)
+            elif nxt == "I":
+                comps.append(_I_INNER)
+            elif nxt == "C":
+                comps.append(_C_INNER)
+            elif nxt in "pP":
+                raise XsdRegexError(r"\p inside a class has no Python-re form")
+            else:
+                pos.append(body[i : i + 2])
+            i += 2
+            continue
+        if ch == "-" and i + 1 < n and body[i + 1] == "[":
+            depth, j = 0, i + 1
+            while j < n:
+                if body[j] == "\\":
+                    j += 2
+                    continue
+                if body[j] == "[":
+                    depth += 1
+                elif body[j] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0 or j != n - 1:
+                raise XsdRegexError(f"malformed class subtraction in [{body}]")
+            sub = body[i + 2 : j]
+            i = j + 1
+            continue
+        pos.append(ch)
+        i += 1
+    return "".join(pos), comps, sub
+
+
+def _class_to_python(body: str) -> str:
+    """One XSD character class (body WITHOUT the surrounding []) → a
+    Python-re single-character matcher."""
+    neg = body.startswith("^")
+    if neg:
+        body = body[1:]
+    pos, comps, sub = _parse_class_body(body)
+    sub_py = None  # lookahead-excluded subtracted class
+    require = None  # subtracting a negated class [^X] == intersect with [X]
+    if sub:
+        if sub.startswith("^"):
+            require = _parse_class_body(sub[1:])[0]
+        else:
+            sub_py = _class_to_python(sub)
+
+    if not neg:
+        alts = []
+        if pos:
+            alts.append(f"[{pos}]")
+        alts += [f"[^{cmp_}]" for cmp_ in comps]
+        if not alts:
+            raise XsdRegexError(f"empty character class [{body}]")
+        core = alts[0] if len(alts) == 1 else "(?:" + "|".join(alts) + ")"
+        look = ""
+        if sub_py:
+            look += f"(?!{sub_py})"
+        if require:
+            look += f"(?=[{require}])"
+        return f"(?:{look}{core})" if look else core
+    # negated: char must be outside pos AND inside every comp class
+    look = []
+    if comps:
+        core = f"[{comps[0]}]"
+        look += [f"(?=[{cmp_}])" for cmp_ in comps[1:]]
+        if pos:
+            look.append(f"(?![{pos}])")
+    else:
+        core = f"[^{pos}]" if pos else "[\\s\\S]"
+    if sub_py:
+        look.append(f"(?!{sub_py})")
+    if require:
+        look.append(f"(?=[{require}])")
+    return "(?:" + "".join(look) + core + ")" if look else core
+
+
+def xsd_to_python_regex(pattern: str) -> str:
+    """Translate one XSD pattern to an UNANCHORED Python regex string
+    (callers match with ``re.fullmatch`` / ``Series.str.fullmatch``)."""
+    out = []
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            if nxt == "i":
+                out.append(I_CLASS)
+            elif nxt == "I":
+                out.append(f"[^{_I_INNER}]")
+            elif nxt == "c":
+                out.append(C_CLASS)
+            elif nxt == "C":
+                out.append(f"[^{_C_INNER}]")
+            elif nxt in "pP":
+                raise XsdRegexError(
+                    r"\p{...} has no Python-re form (Java lane handles it)"
+                )
+            else:
+                out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if ch == "[":
+            depth, j = 0, i
+            while j < n:
+                if pattern[j] == "\\":
+                    j += 2
+                    continue
+                if pattern[j] == "[":
+                    depth += 1
+                elif pattern[j] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise XsdRegexError(f"unterminated class in {pattern!r}")
+            out.append(_class_to_python(pattern[i + 1 : j]))
+            i = j + 1
+            continue
+        if ch in "^$":
+            out.append("\\" + ch)
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def xsd_patterns_to_python(patterns: list[str]) -> str:
+    """N XSD patterns → one Python regex string (any-match alternation,
+    facets.py:621-624); compiled here once to fail fast at rule-compile
+    time, returned as a string for pandas ``str.fullmatch``."""
+    alts = "|".join(f"(?:{xsd_to_python_regex(p)})" for p in patterns)
+    re.compile(alts)
+    return alts

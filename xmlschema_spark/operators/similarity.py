@@ -93,6 +93,19 @@ def _hyperplane_signature(unit_col, dim: int, n_planes: int, seed: int = 7):
     return F.concat(*bits)
 
 
+def _banded_signatures(unit_col, dim: int, n_planes: int, n_bands: int, seed: int):
+    """Array of ``n_bands`` independent hyperplane signatures (one per
+    band, distinct seeds) — banded OR-amplification: a pair is a candidate
+    if it collides in ANY band, so recall rises with n_bands while
+    per-band selectivity stays (1/2)^n_planes."""
+    return F.array(
+        *[
+            _hyperplane_signature(unit_col, dim, n_planes, seed + 7919 * b)
+            for b in range(n_bands)
+        ]
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -101,20 +114,33 @@ def lsh_bucketed_topk(
     query_id_col: str,
     k: int = 10,
     n_planes: int = 8,
+    n_bands: int = 1,
     seed: int = 7,
 ) -> DataFrame:
-    """Approximate top-k: both sides hashed to hyperplane-sign buckets;
-    candidates = equi-join on bucket (plus Catalyst/AQE handling skewed
-    buckets); exact cosine + top-k inside the candidate set. Recall is
-    tunable by n_planes (fewer planes → bigger buckets → higher recall)."""
+    """Approximate top-k: both sides hashed to hyperplane-sign buckets per
+    band; candidates = equi-join on (band, bucket), deduped across bands;
+    exact cosine + top-k inside the candidate set. Recall is tuned by
+    n_planes (fewer planes → bigger buckets) and n_bands (more independent
+    bands → OR-amplified recall); with a high-recall config
+    (e.g. n_planes=2, n_bands=32) the candidate set provably-with-
+    overwhelming-probability covers every true neighbor, making the exact
+    top-k oracle applicable on a fixed-seed fixture — the banded analog of
+    ``ivf_topk``'s full-probe trick."""
     dim = len(corpus.select(vec_col).first()[0])
     c = with_normalized(corpus.select(F.col(id_col).alias("id"), vec_col), vec_col, "cu")
     q = with_normalized(
         queries.select(F.col(query_id_col).alias("query_id"), vec_col), vec_col, "qu"
     )
-    c = c.withColumn("bucket", _hyperplane_signature(F.col("cu"), dim, n_planes, seed))
-    q = q.withColumn("bucket", _hyperplane_signature(F.col("qu"), dim, n_planes, seed))
-    scored = c.join(F.broadcast(q), "bucket").select(
+    sigs_c = _banded_signatures(F.col("cu"), dim, n_planes, n_bands, seed)
+    sigs_q = _banded_signatures(F.col("qu"), dim, n_planes, n_bands, seed)
+    c = c.select("id", "cu", F.posexplode(sigs_c).alias("band", "bucket"))
+    q = q.select("query_id", "qu", F.posexplode(sigs_q).alias("band", "bucket"))
+    cand = (
+        c.join(F.broadcast(q), ["band", "bucket"])
+        .select("query_id", "id", "cu", "qu")
+        .dropDuplicates(["query_id", "id"])
+    )
+    scored = cand.select(
         "query_id", "id", _dot(F.col("cu"), F.col("qu")).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
@@ -235,34 +261,57 @@ def embedding_near_duplicates(
     vec_col: str,
     threshold: float = 0.95,
     n_planes: int = 12,
+    n_bands: int = 1,
     seed: int = 7,
     max_bucket_size: int = 2000,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold, candidate-limited to same-LSH-bucket
-    pairs → (id_a, id_b, cosine). High thresholds pair with more planes
-    (near-identical vectors share all sign bits with high probability).
+    pairs (in ANY of ``n_bands`` independent bands) → (id_a, id_b,
+    cosine). High thresholds pair with more planes (near-identical vectors
+    share all sign bits with high probability); recall is OR-amplified by
+    n_bands: P(miss a pair at angle θ) = (1-(1-θ/π)^n_planes)^n_bands.
+    With e.g. n_planes=2, n_bands=32 a pair at cosine 0.4 is missed with
+    probability ~3e-8 — and the outcome is DETERMINISTIC for a fixed seed,
+    so equality with the exact all-pairs oracle on a fixture is a checked,
+    reproducible fact (the banded analog of ``ivf_topk``'s full-probe).
 
-    ``max_bucket_size`` drops pathologically dense buckets (e.g. a
-    zero-vector cluster) before the quadratic within-bucket pairing — the
-    same skew guard as hot-key salting / MinHash bucket caps. Dropped
-    buckets mean dropped coverage for their members; raise n_planes to
-    split them instead of raising the cap."""
+    ``max_bucket_size`` drops pathologically dense (band, bucket) groups
+    (e.g. a zero-vector cluster) before the quadratic within-bucket
+    pairing — the same skew guard as hot-key salting / MinHash bucket
+    caps. Dropped buckets mean dropped coverage for their members; raise
+    n_planes to split them instead of raising the cap."""
     dim = len(df.select(vec_col).first()[0])
     u = with_normalized(df.select(F.col(id_col).alias("id"), vec_col), vec_col, "u")
-    u = u.withColumn("bucket", _hyperplane_signature(F.col("u"), dim, n_planes, seed))
+    u = u.select(
+        "id", "u",
+        F.posexplode(_banded_signatures(F.col("u"), dim, n_planes, n_bands, seed))
+        .alias("band", "bucket"),
+    )
     hot = (
-        u.groupBy("bucket")
+        u.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > max_bucket_size)
-        .select("bucket")
+        .select("band", "bucket")
     )
-    u = u.join(F.broadcast(hot), "bucket", "left_anti")
+    u = u.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a, b = u.alias("a"), u.alias("b")
-    pairs = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        _dot(F.col("a.u"), F.col("b.u")).alias("cosine"),
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.u").alias("ua"),
+            F.col("b.u").alias("ub"),
+        )
+        # dedup across bands BEFORE the O(dim) dot product
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.select(
+        "id_a", "id_b", _dot(F.col("ua"), F.col("ub")).alias("cosine")
     )
     return pairs.filter(F.col("cosine") >= threshold)

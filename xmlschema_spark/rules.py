@@ -50,6 +50,9 @@ ROW_KINDS = frozenset(
         "finite",
         "type_union",
         "list_items",
+        "explicit_timezone",
+        "xsd_boolean",
+        "qname",
     }
 )
 SET_KINDS = frozenset({"unique", "key", "keyref"})
@@ -81,7 +84,8 @@ _DIGIT_KINDS = {"total_digits", "fraction_digits"}
 _APPLICABLE: dict[str, frozenset[str]] = {
     "string": frozenset(
         _LENGTH_KINDS | _RANGE_KINDS
-        | {"pattern", "enumeration", "whitespace", "type_union", "list_items"}
+        | {"pattern", "enumeration", "whitespace", "type_union", "list_items",
+           "explicit_timezone", "xsd_boolean", "qname"}
     ),
     "binary": frozenset(_LENGTH_KINDS),
     "numeric": frozenset(_RANGE_KINDS | _DIGIT_KINDS | {"enumeration", "finite"}),

@@ -82,11 +82,8 @@ def windowed_verdicts(
     """Event-time windowed verdict aggregation with late-data handling:
     per (window, partition) violation counts → PASS/FAIL, emitted once the
     watermark passes (standard watermark + windowed agg pattern)."""
-    v = engine.row_violations(
-        stream_df.withWatermark(time_col, watermark), run_id=run_id
-    )
-    # row_violations drops the time column; re-derive from the source by
-    # keeping it in the projection instead
+    # row_violations drops the time column, so the wide 0/1 projection is
+    # rebuilt from the source with the time column kept in it
     src = stream_df.withWatermark(time_col, watermark)
     checks = [
         (~ok).cast("int").alias(r.rule_id)
