@@ -365,6 +365,61 @@ def q_pattern_fallback_docs(spark, sf_dir):
     return eng.row_violations(df, run_id="r").select("rule_id", "row_id", "severity")
 
 
+def q_binary_lexical_events(spark, sf_dir):
+    """hex / base64 lexical-space validators (hex_binary_validator
+    builtins.py:139-141, base64_binary_validator builtins.py:144-155)."""
+    rs = RuleSet(
+        [
+            Rule("hex_lex", "hex_binary", "hex_str"),
+            Rule("b64_lex", "base64_binary", "b64_str"),
+        ]
+    )
+    df = (
+        _t(spark, sf_dir, "events")
+        .withColumn(
+            "hex_str",
+            F.expr(
+                "CASE event_id % 4 WHEN 0 THEN 'deadbeef' WHEN 1 THEN 'ABC' "
+                "WHEN 2 THEN '0a1B2c' ELSE 'xyz123' END"
+            ),
+        )
+        .withColumn(
+            "b64_str",
+            F.expr(
+                "CASE event_id % 4 WHEN 0 THEN 'aGVsbG8=' WHEN 1 THEN 'aGVsbG8' "
+                "WHEN 2 THEN 'TQ==' ELSE 'not&base64!' END"
+            ),
+        )
+    )
+    eng = ValidationEngine(rs, id_col="event_id", partition_col="event_type")
+    v = eng.row_violations(df, run_id="r")
+    return v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 0)
+
+
+def q_idref_orphans_docs(spark, sf_dir):
+    """IDREF → xs:ID pairing (builtins.py:328-341): same-table keyref
+    sugar — derived ref column must point at an existing doc_id."""
+    rs = RuleSet(
+        [
+            Rule(
+                "ref_exists", "idref", "",
+                {"columns": ["ref"], "refer_columns": ["doc_id"], "broadcast_pk": True},
+            )
+        ]
+    )
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "ref",
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN doc_id + 10000000 "
+            "ELSE doc_id - (doc_id % 3) END"
+        ),
+    )
+    eng = ValidationEngine(rs, id_col="doc_id", partition_col="lang")
+    res = eng.validate(df, run_id="r", with_stats=False)
+    out = res.violations.select("rule_id", "row_id", "value").orderBy("row_id")
+    return out
+
+
 def q_encode_canonical_events(spark, sf_dir):
     """Encode direction (iter_encode analog, schema.py:1111-1180): typed
     values → canonical XSD lexical forms, all JVM-side codegen."""
@@ -691,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timezone_events": q_timezone_events,
         "boolean_qname_events": q_boolean_qname_events,
         "pattern_fallback_docs": q_pattern_fallback_docs,
+        "binary_lexical_events": q_binary_lexical_events,
+        "idref_orphans_docs": q_idref_orphans_docs,
         "encode_canonical_events": q_encode_canonical_events,
         "type_cast_events": q_type_cast_events,
         "report_by_rule_orders": q_report_by_rule_orders,
@@ -991,6 +1048,37 @@ SELECT 'sym_only' AS rule_id, CAST(doc_id AS VARCHAR) AS row_id, 'error' AS seve
 FROM d
 WHERE sym IS NOT NULL AND NOT regexp_full_match(sym,
   '[^:A-Za-z_\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{02FF}]+')
+""",
+        "binary_lexical_events": """
+WITH d AS (
+  SELECT event_id,
+    CASE event_id % 4 WHEN 0 THEN 'deadbeef' WHEN 1 THEN 'ABC'
+         WHEN 2 THEN '0a1B2c' ELSE 'xyz123' END AS hex_str,
+    CASE event_id % 4 WHEN 0 THEN 'aGVsbG8=' WHEN 1 THEN 'aGVsbG8'
+         WHEN 2 THEN 'TQ==' ELSE 'not&base64!' END AS b64_str
+  FROM events
+)
+SELECT * FROM (
+  SELECT 'hex_lex' AS rule_id, count(*)::BIGINT AS n FROM d
+   WHERE NOT regexp_full_match(hex_str, '([0-9a-fA-F]{2})*')
+  UNION ALL
+  SELECT 'b64_lex', count(*)::BIGINT FROM d
+   WHERE NOT regexp_full_match(regexp_replace(b64_str, '\\s+', '', 'g'),
+     '(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?')
+) WHERE n > 0
+""",
+        "idref_orphans_docs": """
+WITH d AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN doc_id + 10000000
+                      ELSE doc_id - (doc_id % 3) END AS ref
+  FROM documents
+)
+SELECT 'ref_exists' AS rule_id, CAST(d.doc_id AS VARCHAR) AS row_id,
+       CAST(d.ref AS VARCHAR) AS value
+FROM d
+WHERE d.ref IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.ref)
+ORDER BY row_id
 """,
         "encode_canonical_events": """
 SELECT event_id,

@@ -91,6 +91,15 @@ def main():
         timings[name] = round(time.time() - t0, 3)
 
     # --- headline: full constraint-suite pass over the image+caption table
+    # restart the context with task.cpus=2 for this decode-bound phase:
+    # each pandas-UDF task's slot then covers its JVM thread AND its Arrow
+    # Python worker, so local[k] runs k busy threads instead of 2k — the
+    # right-sized executor config (measured ~45% faster at local[32] than
+    # the oversubscribed default; see BENCH.md). task.cpus is fixed at
+    # context creation, hence the restart; the SQL-query timings above
+    # keep the default so every core is a slot for JVM-only plans.
+    spark.stop()
+    spark = get_spark("bench_images", cores=cpus, extra_conf={"spark.task.cpus": "2"})
     df = generate_images_df(
         spark, N_IMAGES, seed=99, n_parts=64,
         null_frac=0.02, bad_dims_frac=0.02, corrupt_frac=0.02, dup_id_frac=0.02,

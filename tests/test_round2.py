@@ -211,3 +211,75 @@ def test_lsh_topk_equals_exact(spark, embeddings):
     got = {(r.query_id, r.id, r.rank) for r in lsh.collect()}
     want = {(r.query_id, r.id, r.rank) for r in exact.collect()}
     assert got == want and len(want) == 25
+
+
+def test_hex_base64_lexical_kinds(spark):
+    df = spark.createDataFrame(
+        [
+            ("ok", "deadBEEF", "aGVsbG8="),
+            ("odd", "abc", "TQ=="),
+            ("bad", "xyz", "a&b"),
+            ("pad", "0A1b", "  aGVs bG8=  "),  # ws stripped before b64 check
+        ],
+        "id string, hx string, b64 string",
+    ).withColumn("part", F.lit("p"))
+    got = _violating_ids(
+        spark, df,
+        [Rule("hx", "hex_binary", "hx"), Rule("b6", "base64_binary", "b64")],
+    )
+    assert got == {("hx", "odd"), ("hx", "bad"), ("b6", "bad")}
+
+
+def test_idref_same_table_sugar(spark):
+    """idref = same-table keyref (IDREF → xs:ID, builtins.py:328-341):
+    no secondary dict required."""
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "zz"), ("d", None)],
+        "id string, ref string",
+    ).withColumn("part", F.lit("p"))
+    rs = RuleSet(
+        [Rule("ref_ok", "idref", "", {"columns": ["ref"], "refer_columns": ["id"]})]
+    )
+    rs.validate_against_schema(df.schema)
+    res = ValidationEngine(rs, id_col="id", partition_col="part").validate(
+        df, run_id="i", with_stats=False
+    )
+    rows = res.violations.collect()
+    # 'zz' dangles; NULL refs pass (absent value, like the null-tuple
+    # semantics of identity fields)
+    assert {r.row_id for r in rows} == {"c"}
+    res.unpersist()
+
+
+def test_facet_consistency_extensions():
+    """Extended compile-time narrowing checks (simple_types.py:199-228)."""
+    with pytest.raises(Exception, match="empty"):
+        RuleSet(
+            [
+                Rule("a", "min_exclusive", "v", {"value": 5}),
+                Rule("b", "max", "v", {"value": 5}),
+            ]
+        )._check_consistency()
+    with pytest.raises(Exception, match="fractionDigits"):
+        RuleSet(
+            [
+                Rule("a", "total_digits", "v", {"value": 2}),
+                Rule("b", "fraction_digits", "v", {"value": 3}),
+            ]
+        )._check_consistency()
+    with pytest.raises(Exception, match="length"):
+        RuleSet(
+            [
+                Rule("a", "length", "v", {"value": 5}),
+                Rule("b", "max_length", "v", {"value": 4}),
+            ]
+        )._check_consistency()
+    # consistent combinations pass
+    RuleSet(
+        [
+            Rule("a", "min_exclusive", "v", {"value": 1}),
+            Rule("b", "max", "v", {"value": 5}),
+            Rule("c", "total_digits", "v", {"value": 4}),
+            Rule("d", "fraction_digits", "v", {"value": 2}),
+        ]
+    )._check_consistency()

@@ -219,6 +219,23 @@ def compile_row_rule(rule: Rule) -> Column:
         # which also accepts 'yes'/'no'/'t'/'f' etc.
         v = whitespace_normalize(c, "collapse")
         ok = _passes_when_null(c, v.isin("true", "false", "1", "0"))
+    elif k == "hex_binary":
+        # even-length hex lexical space (hex_binary_validator,
+        # builtins.py:139-141)
+        ok = _passes_when_null(c, c.rlike("^([0-9a-fA-F]{2})*$"))
+    elif k == "base64_binary":
+        # charset + strict-decodability (base64_binary_validator,
+        # builtins.py:144-155): the reference strips whitespace then
+        # b64decodes strictly; the equivalent lexical check is canonical
+        # alphabet, 4-char groups, and valid '='-padding — one codegen
+        # regex instead of a decode attempt.
+        v = F.regexp_replace(c, r"\s+", "")
+        ok = _passes_when_null(
+            c,
+            v.rlike(
+                "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+            ),
+        )
     elif k == "qname":
         # xs:QName lexical check (qname_validator, builtins.py:74-76):
         # NCName(':'NCName)? — NCName = name chars minus ':', using the
@@ -267,6 +284,8 @@ def violation_reason(rule: Rule) -> str:
         "explicit_timezone": f"timezone {p.get('value', 'optional')} for {rule.column!r}",
         "xsd_boolean": f"value of {rule.column!r} not in boolean lexical space {{true,1,false,0}}",
         "qname": f"value of {rule.column!r} is not an xs:QName",
+        "hex_binary": f"value of {rule.column!r} is not even-length hex",
+        "base64_binary": f"value of {rule.column!r} is not base64",
     }.get(rule.kind, rule.kind)
     if rule.kind in CUSTOM_ROW_KINDS:
         _, reason_fn = CUSTOM_ROW_KINDS[rule.kind]

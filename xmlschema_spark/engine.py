@@ -179,14 +179,20 @@ class ValidationEngine:
                             F.lit(r.severity).alias("severity"),
                         )
                     )
-            elif r.kind == "keyref":
-                ref_name = r.param("refer_table")
-                pk_df = secondary.get(ref_name)
-                if pk_df is None:
-                    raise ValueError(
-                        f"{r.rule_id}: keyref refers to table {ref_name!r}; "
-                        f"pass it via secondary={{'{ref_name}': df}}"
-                    )
+            elif r.kind in ("keyref", "idref"):
+                if r.kind == "idref":
+                    # IDREF → xs:ID pairing sugar (builtins.py:328-341):
+                    # a same-table keyref, no secondary needed
+                    ref_name = "<same table>"
+                    pk_df = df
+                else:
+                    ref_name = r.param("refer_table")
+                    pk_df = secondary.get(ref_name)
+                    if pk_df is None:
+                        raise ValueError(
+                            f"{r.rule_id}: keyref refers to table {ref_name!r}; "
+                            f"pass it via secondary={{'{ref_name}': df}}"
+                        )
                 orphans = id_ops.keyref_orphans(
                     df, cols, pk_df, list(r.param("refer_columns", cols)),
                     broadcast_pk=r.param("broadcast_pk"),
@@ -407,16 +413,33 @@ class ValidationEngine:
         src = df
         check_exprs: list = []
         if decode_rules or phash_rules:
-            # pass EVERY column through (including bytes: row rules like
-            # length(bytes) still need it downstream — the cost is Arrow
-            # round-tripping the binary once, still one scan)
-            needed = {f.name for f in df.schema.fields}
+            # Evaluate every ROW-rule predicate JVM-side BEFORE the Arrow
+            # UDF (fused into the scan by codegen) and carry only the 0/1
+            # flags through — so the multi-KB ``bytes`` payload crosses
+            # into Python exactly once (decode input) and NEVER comes
+            # back: at 10^12 rows the Python→JVM Arrow copy of the
+            # payload would otherwise double the suite's memory traffic.
+            flag_cols = [f"__v{i}" for i in range(len(self._row_preds))]
+            pre = df.select(
+                "*",
+                *[
+                    (~ok).cast("int").alias(fc)
+                    for fc, (_, ok, _reason) in zip(flag_cols, self._row_preds)
+                ],
+            )
+            stats_src = stats_columns or [
+                f.name for f in df.schema.fields
+                if f.name not in (self.partition_col, "bytes")
+            ]
+            passthrough = [self.partition_col] + flag_cols + [
+                c for c in stats_src if c != self.id_col
+            ]
             src = mm_ops.decode_check(
-                df,
+                pre,
                 psnr_db=float((decode_rules or phash_rules)[0].param("psnr_db", 40.0)),
                 id_col=self.id_col,
                 check_phash=bool(phash_rules),
-                passthrough=sorted(needed - {self.id_col}),
+                passthrough=passthrough,
             )
             if self.id_col != "image_id":
                 src = src.withColumnRenamed("image_id", self.id_col)
@@ -430,10 +453,16 @@ class ValidationEngine:
                 check_exprs.append(
                     (phash_rules[0], F.col("decode_ok") & ~F.col("phash_match"))
                 )
-
-        flags = [
-            F.sum((~ok).cast("long")).alias(r.rule_id) for r, ok, _ in self._row_preds
-        ] + [F.sum(bad.cast("long")).alias(r.rule_id) for r, bad in check_exprs]
+            flags = [
+                F.sum(F.col(fc).cast("long")).alias(r.rule_id)
+                for fc, (r, _ok, _reason) in zip(flag_cols, self._row_preds)
+            ]
+        else:
+            flags = [
+                F.sum((~ok).cast("long")).alias(r.rule_id)
+                for r, ok, _ in self._row_preds
+            ]
+        flags += [F.sum(bad.cast("long")).alias(r.rule_id) for r, bad in check_exprs]
         error_rules = [
             r.rule_id
             for r in (

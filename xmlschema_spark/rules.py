@@ -53,9 +53,13 @@ ROW_KINDS = frozenset(
         "explicit_timezone",
         "xsd_boolean",
         "qname",
+        "hex_binary",
+        "base64_binary",
     }
 )
-SET_KINDS = frozenset({"unique", "key", "keyref"})
+# idref = same-table keyref sugar: IDREF values must pair with an xs:ID
+# column of the SAME table (builtins.py:328-341)
+SET_KINDS = frozenset({"unique", "key", "keyref", "idref"})
 DATASET_KINDS = frozenset(
     {"stats_profile", "drift_ks", "drift_psi", "decode_image", "phash_consistency"}
 )
@@ -85,7 +89,8 @@ _APPLICABLE: dict[str, frozenset[str]] = {
     "string": frozenset(
         _LENGTH_KINDS | _RANGE_KINDS
         | {"pattern", "enumeration", "whitespace", "type_union", "list_items",
-           "explicit_timezone", "xsd_boolean", "qname"}
+           "explicit_timezone", "xsd_boolean", "qname",
+           "hex_binary", "base64_binary"}
     ),
     "binary": frozenset(_LENGTH_KINDS),
     "numeric": frozenset(_RANGE_KINDS | _DIGIT_KINDS | {"enumeration", "finite"}),
@@ -202,6 +207,9 @@ class RuleSet:
                 cols = list(r.param("columns", []))
                 if not cols:
                     raise RuleCompileError(f"{r.rule_id}: {r.kind} needs params.columns")
+                if r.kind == "idref":
+                    # same-table reference: the ID side must exist here too
+                    cols += list(r.param("refer_columns", []))
             else:
                 cols = [r.column]
                 if not r.column:
@@ -222,22 +230,48 @@ class RuleSet:
 
     def _check_consistency(self) -> None:
         """Facet-consistency checks, analog of simple_types.py:199-228:
-        min ≤ max, min_length ≤ max_length, per (column, gate) group."""
+        min ≤ max (empty range if a bound is exclusive and lo == hi),
+        minLength ≤ maxLength, exact length vs min/maxLength conflicts,
+        fractionDigits ≤ totalDigits — per (column, gate) group."""
         by_target: dict[tuple, dict[str, Any]] = {}
         for r in self.rules:
-            if r.kind in _RANGE_KINDS | _LENGTH_KINDS:
+            if r.kind in _RANGE_KINDS | _LENGTH_KINDS | _DIGIT_KINDS:
                 by_target.setdefault((r.column, r.gate), {})[r.kind] = r.param("value")
         for (col, _gate), kinds in by_target.items():
             lo = kinds.get("min", kinds.get("min_exclusive"))
             hi = kinds.get("max", kinds.get("max_exclusive"))
-            if lo is not None and hi is not None and lo > hi:
-                raise RuleCompileError(f"column {col!r}: min {lo} > max {hi}")
+            exclusive = "min_exclusive" in kinds or "max_exclusive" in kinds
+            if lo is not None and hi is not None:
+                if lo > hi:
+                    raise RuleCompileError(f"column {col!r}: min {lo} > max {hi}")
+                if exclusive and lo == hi:
+                    # e.g. minExclusive == maxInclusive admits no value
+                    # (simple_types.py:199-218 raises the same way)
+                    raise RuleCompileError(
+                        f"column {col!r}: exclusive bound makes range ({lo}, {hi}) empty"
+                    )
             if (
                 kinds.get("min_length") is not None
                 and kinds.get("max_length") is not None
                 and kinds["min_length"] > kinds["max_length"]
             ):
                 raise RuleCompileError(f"column {col!r}: minLength > maxLength")
+            if kinds.get("length") is not None:
+                exact = kinds["length"]
+                if kinds.get("min_length") is not None and exact < kinds["min_length"]:
+                    raise RuleCompileError(f"column {col!r}: length {exact} < minLength")
+                if kinds.get("max_length") is not None and exact > kinds["max_length"]:
+                    raise RuleCompileError(f"column {col!r}: length {exact} > maxLength")
+            if (
+                kinds.get("total_digits") is not None
+                and kinds.get("fraction_digits") is not None
+                and kinds["fraction_digits"] > kinds["total_digits"]
+            ):
+                # fractionDigits must not exceed totalDigits
+                # (facets consistency, simple_types.py:219-228)
+                raise RuleCompileError(
+                    f"column {col!r}: fractionDigits > totalDigits"
+                )
 
     def to_json(self) -> str:
         return json.dumps(
