@@ -184,6 +184,15 @@ def q_ks_drift_events(spark, sf_dir):
     return scores.select("event_type", F.round("ks", 3).alias("ks"), "n")
 
 
+def q_ks_exact_events(spark, sf_dir):
+    """Exact KS drift (pure Catalyst counts + window cumsums, no UDF) of
+    `value` quantized at 0.1 resolution, per event_type vs whole table —
+    DuckDB-oracle verifiable, unlike the approx-grid `ks` variant."""
+    df = _t(spark, sf_dir, "events")
+    scores = drift_ops.ks_exact(df, "value", "event_type", quantize_scale=1)
+    return scores.select("event_type", F.round("ks", 3).alias("ks"), "n")
+
+
 def q_doc_rule_counts(spark, sf_dir):
     """length / enumeration / fixed / pattern / assertion facets on documents."""
     rs = RuleSet(
@@ -520,6 +529,14 @@ def q_whitespace_docs(spark, sf_dir):
     return eng.row_violations(df, run_id="r").select("rule_id", "row_id", "severity")
 
 
+def q_dedup_keep_docs(spark, sf_dir):
+    """Pipeline-facing dedup: keep the smallest doc_id per normalized
+    content group (windowed row_number — no agg-buffer growth on
+    boilerplate groups), drop the rest."""
+    df = _t(spark, sf_dir, "documents").withColumn("snippet", F.substring("text", 1, 30))
+    return dedup_ops.drop_exact_duplicates(df, "snippet", "doc_id").select("doc_id")
+
+
 def q_exact_dedup_docs(spark, sf_dir):
     """Exact dedup groups by normalized-content hash."""
     df = _t(spark, sf_dir, "documents").withColumn("snippet", F.substring("text", 1, 30))
@@ -564,6 +581,13 @@ def q_fingerprint_docs(spark, sf_dir):
     """Winnowing-style doc fingerprint (xxhash64 — not oracle-expressible)."""
     df = _t(spark, sf_dir, "documents")
     return df.select("doc_id", text_ops.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_fingerprint_md5_docs(spark, sf_dir):
+    """md5 variant of the winnowing fingerprint — engine-portable, so
+    DuckDB-oracle verifiable (the xxhash64 variant above is rows-only)."""
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return df.select("doc_id", text_ops.fingerprint_md5(F.col("text")).alias("fp"))
 
 
 def q_minhash_pairs_docs(spark, sf_dir):
@@ -738,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_mktsegment": q_histogram_mktsegment,
         "psi_drift_events": q_psi_drift_events,
         "ks_drift_events": q_ks_drift_events,
+        "ks_exact_events": q_ks_exact_events,
         "doc_rule_counts": q_doc_rule_counts,
         "gated_rule_docs": q_gated_rule_docs,
         "occurs_words_docs": q_occurs_words_docs,
@@ -755,11 +780,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_items_docs": q_list_items_docs,
         "finite_events": q_finite_events,
         "whitespace_docs": q_whitespace_docs,
+        "dedup_keep_docs": q_dedup_keep_docs,
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_counts_docs": q_token_counts_docs,
         "lang_pred_counts": q_lang_pred_counts,
         "quality_docs": q_quality_docs,
         "fingerprint_docs": q_fingerprint_docs,
+        "fingerprint_md5_docs": q_fingerprint_md5_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "simhash_dups_docs": q_simhash_dups_docs,
         "jaccard_pairs_docs": q_jaccard_pairs_docs,
@@ -928,6 +955,43 @@ FROM skeleton s
 LEFT JOIN part_p p ON p.event_type = s.event_type AND p.b = s.b
 LEFT JOIN ref_hist r ON r.b = s.b
 GROUP BY s.event_type
+""",
+        "ks_exact_events": """
+WITH pv AS (
+  SELECT event_type, CAST(floor(value * 10.0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+part_counts AS (
+  SELECT event_type, v, count(*)::BIGINT AS np FROM pv GROUP BY event_type, v
+),
+ref_counts AS (
+  SELECT v, count(*)::BIGINT AS nr FROM pv GROUP BY v
+),
+ref_cdf AS (
+  SELECT v,
+         SUM(nr) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r,
+         (SELECT SUM(nr) FROM ref_counts) AS n_total
+  FROM ref_counts
+),
+skeleton AS (
+  SELECT p.event_type, r.v
+  FROM (SELECT DISTINCT event_type FROM pv) p, (SELECT v FROM ref_counts) r
+),
+grid AS (
+  SELECT s.event_type, s.v,
+         SUM(coalesce(pc.np, 0)) OVER (
+           PARTITION BY s.event_type ORDER BY s.v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+         SUM(coalesce(pc.np, 0)) OVER (PARTITION BY s.event_type) AS n,
+         rc.cum_r, rc.n_total
+  FROM skeleton s
+  LEFT JOIN part_counts pc ON s.event_type = pc.event_type AND s.v = pc.v
+  JOIN ref_cdf rc ON s.v = rc.v
+)
+SELECT event_type,
+       round(MAX(ABS(cum_p::DOUBLE / n::DOUBLE - cum_r::DOUBLE / n_total::DOUBLE)), 3) AS ks,
+       MAX(n)::BIGINT AS n
+FROM grid GROUP BY event_type
 """,
         "doc_rule_counts": """
 SELECT * FROM (
@@ -1140,6 +1204,15 @@ FROM documents
 WHERE doc_id % 5 = 0
   AND concat('  ', text) <> trim(regexp_replace(concat('  ', text), '\\s+', ' ', 'g'))
 """,
+        "dedup_keep_docs": """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (
+           PARTITION BY trim(regexp_replace(lower(substring(text, 1, 30)), '\\s+', ' ', 'g'))
+           ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
         "exact_dedup_docs": """
 SELECT md5(trim(regexp_replace(lower(substring(text, 1, 30)), '\\s+', ' ', 'g'))) AS content_hash,
        count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
@@ -1176,6 +1249,26 @@ SELECT CASE WHEN text IS NULL THEN NULL
             WHEN v4 > 0 THEN b4 ELSE 'und' END AS pred_lang,
        count(*)::BIGINT AS n
 FROM best GROUP BY 1
+""",
+        "fingerprint_md5_docs": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+                     x -> length(x) > 0) AS words
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(words) - 2),
+                         i -> array_to_string(words[i:i+2], ' ')))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+)
+SELECT doc_id,
+       md5(array_to_string(
+         list_sort(list_transform(shingles, s -> md5(s)))[1:8], ',')) AS fp
+FROM sh
 """,
         "quality_docs": """
 WITH f AS (

@@ -41,7 +41,9 @@ BENCH_QUERIES = [
     "stats_profile_customer",     # single-pass wide stats agg
     "psi_drift_events",           # SQL-only drift
     "ks_drift_events",            # applyInPandas drift
+    "ks_exact_events",            # pure-Catalyst exact KS (counts + window cumsums)
     "exact_dedup_docs",           # hash-groupBy dedup
+    "dedup_keep_docs",            # keep-representative dedup (window top-1)
     "minhash_pairs_docs",         # minhash LSH band join
     "simhash_dups_docs",          # JVM-side simhash bit-votes + pigeonhole join
     "jaccard_pairs_docs",         # inverted-index exact jaccard

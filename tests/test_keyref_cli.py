@@ -74,3 +74,26 @@ def test_cli_resume_mode(spark, tmp_path, capsys):
     ])
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc1 == rc2 and out1 == out2
+
+
+def test_cli_restriction_check(tmp_path, capsys):
+    import json as _json
+
+    import pytest
+
+    from xmlschema_spark.cli import main
+    from xmlschema_spark.rules import Rule, RuleCompileError, RuleSet
+
+    base = tmp_path / "base.json"
+    good = tmp_path / "good.json"
+    bad = tmp_path / "bad.json"
+    base.write_text(RuleSet([Rule("r1", "min", "w", {"value": 8})]).to_json())
+    good.write_text(RuleSet([Rule("r1", "min", "w", {"value": 16})]).to_json())
+    bad.write_text(RuleSet([Rule("r1", "min", "w", {"value": 4})]).to_json())
+
+    rc = main(["--rules", str(good), "--restricts", str(base)])
+    assert rc == 0
+    assert _json.loads(capsys.readouterr().out)["ok"] is True
+
+    with pytest.raises(RuleCompileError, match="widens"):
+        main(["--rules", str(bad), "--restricts", str(base)])

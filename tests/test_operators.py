@@ -233,3 +233,83 @@ def test_generator_paths_identical(spark):
         (a is None and b is None) or bytes(a) == bytes(b)
         for a, b in zip(pdf["bytes"], dist["bytes"])
     )
+
+
+def test_ks_exact_matches_numpy(spark):
+    import numpy as np
+
+    rows = [("a", float(v)) for v in [1, 1, 2, 3, 5, 8]] + [
+        ("b", float(v)) for v in [2, 2, 2, 9, 9]
+    ]
+    df = spark.createDataFrame(rows, "part string, x double")
+    got = {r.part: (r.ks, r.n) for r in drift.ks_exact(df, "x", "part").collect()}
+
+    pooled = np.array([v for _, v in rows])
+    jump = np.unique(pooled)
+    for part in ("a", "b"):
+        vals = np.array([v for p, v in rows if p == part])
+        emp = np.searchsorted(np.sort(vals), jump, side="right") / len(vals)
+        ref = np.searchsorted(np.sort(pooled), jump, side="right") / len(pooled)
+        want = float(np.max(np.abs(emp - ref)))
+        assert abs(got[part][0] - want) < 1e-12
+        assert got[part][1] == len(vals)
+
+
+def test_ks_exact_detects_shift_and_quantizes(spark):
+    rows = [(f"p{i % 2}", float(i % 100) + (60.0 if i % 2 else 0.0)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "part string, x double")
+    ref = df.filter(df.part == "p0")
+    ks = {
+        r.part: r.ks
+        for r in drift.ks_exact(df, "x", "part", reference=ref, quantize_scale=0).collect()
+    }
+    assert ks["p0"] < 1e-12  # identical to its own reference, exactly
+    assert ks["p1"] > 0.5
+
+
+def test_fingerprint_md5_matches_pure_python(spark):
+    import hashlib
+    import re
+
+    doc = "The quick brown fox jumps over the lazy dog near the river bank"
+    df = spark.createDataFrame([(1, doc)], "doc_id int, text string")
+    got = df.select(text.fingerprint_md5(F.col("text")).alias("fp")).first()["fp"]
+
+    words = [w for w in re.split(r"[^a-z0-9]+", doc.lower()) if w]
+    shingles = list(dict.fromkeys(
+        " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+    ))
+    hashes = sorted(hashlib.md5(s.encode()).hexdigest() for s in shingles)[:8]
+    want = hashlib.md5(",".join(hashes).encode()).hexdigest()
+    assert got == want
+    # order-insensitive on shingle sets: same shingle multiset, same fp
+    assert (
+        df.select(text.fingerprint_md5(F.col("text")).alias("fp")).first()["fp"] == want
+    )
+
+
+def test_exact_duplicates_bounded_ids(spark, docs):
+    full = {
+        r.content_hash: (r.n_docs, r.doc_ids)
+        for r in dedup.exact_duplicates(docs, "text", "doc_id").collect()
+    }
+    capped = {
+        r.content_hash: (r.n_docs, r.doc_ids)
+        for r in dedup.exact_duplicates(docs, "text", "doc_id", max_ids=2).collect()
+    }
+    assert set(capped) == set(full)
+    for h, (n, ids) in capped.items():
+        assert n == full[h][0]              # counts stay exact
+        assert ids == full[h][1][:2]        # the 2 smallest ids, in order
+
+
+def test_drop_exact_duplicates_keeps_min_id(spark, docs):
+    kept = dedup.drop_exact_duplicates(docs, "text", "doc_id")
+    assert kept.columns == docs.columns
+    groups = dedup.exact_duplicates(docs, "text", "doc_id").collect()
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    n_extra_dups = sum(r.n_docs - 1 for r in groups)
+    assert len(kept_ids) == docs.count() - n_extra_dups
+    for g in groups:
+        ids = set(g.doc_ids)
+        assert min(ids) in kept_ids and not (ids - {min(ids)}) & kept_ids

@@ -84,3 +84,67 @@ def test_kind_partitions():
     assert [r.rule_id for r in rs.row_rules] == ["a"]
     assert [r.rule_id for r in rs.set_rules] == ["b"]
     assert [r.rule_id for r in rs.dataset_rules] == ["c"]
+
+
+def _rs(*rules):
+    return RuleSet(list(rules))
+
+
+def test_restriction_accepts_narrowing():
+    base = _rs(
+        Rule("b1", "min", "x", {"value": 0}),
+        Rule("b2", "max", "x", {"value": 100}),
+        Rule("b3", "enumeration", "lang", {"values": ["en", "de", "fr"]}),
+        Rule("b4", "min_length", "s", {"value": 2}),
+        Rule("b5", "pattern", "s", {"patterns": ["[a-z]+"]}),
+    )
+    derived = _rs(
+        Rule("d1", "min_exclusive", "x", {"value": 0}),   # tightens [0 → (0
+        Rule("d2", "max", "x", {"value": 50}),
+        Rule("d3", "enumeration", "lang", {"values": ["en", "de"]}),
+        Rule("d4", "min_length", "s", {"value": 5}),
+        Rule("d5", "pattern", "s", {"patterns": ["[a-z]+"]}),  # inherited, kept
+        Rule("d6", "max_length", "s", {"value": 99}),      # added facet: fine
+    )
+    derived.check_restriction_of(base)  # should not raise
+
+
+def test_restriction_rejects_widening():
+    import pytest
+
+    base = _rs(
+        Rule("b1", "min", "x", {"value": 10}),
+        Rule("b2", "enumeration", "lang", {"values": ["en"]}),
+        Rule("b3", "not_null", "s", {}),
+        Rule("b4", "occurs", "w", {"min": 1, "max": 5}),
+        Rule("b5", "fixed", "lang", {"value": "en"}),
+        Rule("b6", "length", "code", {"value": 3}),
+    )
+    derived = _rs(
+        Rule("d1", "min", "x", {"value": 5}),              # widens lower bound
+        Rule("d2", "enumeration", "lang", {"values": ["en", "xx"]}),  # adds value
+        # not_null dropped — required became optional
+        Rule("d4", "occurs", "w", {"min": 0, "max": 9}),   # widens both ways
+        Rule("d5", "fixed", "lang", {"value": "de"}),      # altered fixed
+        Rule("d6", "length", "code", {"value": 4}),        # altered exact length
+    )
+    with pytest.raises(RuleCompileError) as e:
+        derived.check_restriction_of(base)
+    msg = str(e.value)
+    for frag in (
+        "lower bound",
+        "adds values ['xx']",
+        "cannot become optional",
+        "occurs [0, 9] widens",
+        "fixed value must be kept",
+        "exact base length",
+    ):
+        assert frag in msg, f"missing {frag!r} in:\n{msg}"
+
+
+def test_restriction_rejects_dropped_inherited_facet():
+    import pytest
+
+    base = _rs(Rule("b1", "pattern", "s", {"patterns": ["[a-z]+"]}))
+    with pytest.raises(RuleCompileError, match="must reappear"):
+        _rs(Rule("d1", "min_length", "s", {"value": 1})).check_restriction_of(base)

@@ -134,3 +134,43 @@ def test_cumulative_verdicts_stateful(spark):
         assert any(v[1] > 0 for v in last.values())  # values > 50 violate
     finally:
         q.stop()
+
+
+def test_windowed_psi_streaming(spark, tmp_path):
+    """Shifted stream vs uniform reference: windowed PSI flags the shift.
+    Driven with a file source (deterministic event times) + memory sink."""
+    import math
+
+    from xmlschema_spark.operators.drift import reference_histogram
+    from xmlschema_spark.streaming import windowed_psi
+
+    # batch reference: uniform over [0, 100)
+    ref = spark.range(10_000).select((F.col("id") % 100).cast("double").alias("v"))
+    reference = reference_histogram(ref, "v", bins=10)
+    assert abs(sum(reference[2]) - 1.0) < 1e-9
+
+    # stream input: everything concentrated in the top decile → high PSI
+    src = str(tmp_path / "src")
+    spark.range(2_000).select(
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % 60).alias("ts"),
+        (95.0 + (F.col("id") % 5)).alias("v"),
+    ).write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    out = windowed_psi(stream, "v", "ts", reference, window_duration="1 minute")
+    q = (
+        out.writeStream.format("memory").queryName("psi_out")
+        .outputMode("complete").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from psi_out").collect()
+        assert len(rows) == 1
+        assert rows[0]["n"] == 2_000
+        # analytic PSI for all-mass-in-one-bucket vs uniform 0.1 each
+        p = [1e-6] * 9 + [1.0 + 1e-6]
+        want = sum(
+            (pi - 0.1 - 1e-6) * (math.log(pi) - math.log(0.1 + 1e-6)) for pi in p
+        )
+        assert abs(rows[0]["psi"] - want) < 1e-6
+    finally:
+        q.stop()

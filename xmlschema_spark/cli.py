@@ -48,7 +48,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N synthetic images instead of --input")
     p.add_argument("--rules", help="rules JSON path (default: image suite)")
-    p.add_argument("--output", required=True, help="sink directory")
+    p.add_argument("--output", help="sink directory (required unless --restricts)")
     p.add_argument("--run-id", default="run0")
     p.add_argument("--mode", default="lax", choices=["strict", "lax", "skip"])
     p.add_argument("--id-col", default="image_id")
@@ -57,7 +57,20 @@ def main(argv: list[str] | None = None) -> int:
                    help="checkpointed partition-batched run (re-entrant)")
     p.add_argument("--batch-size", type=int, default=8,
                    help="partitions per batch in --resume mode")
+    p.add_argument("--restricts", metavar="BASE_RULES_JSON",
+                   help="assert --rules is a valid derivation-by-restriction "
+                        "of this base rule set, then exit (no Spark job)")
     args = p.parse_args(argv)
+
+    if args.restricts:
+        from xmlschema_spark.sources.rules_loader import load_rules_json
+        if not args.rules:
+            p.error("--restricts requires --rules")
+        load_rules_json(args.rules).check_restriction_of(load_rules_json(args.restricts))
+        print(json.dumps({"restriction_of": args.restricts, "ok": True}))
+        return 0
+    if not args.output:
+        p.error("--output is required")
 
     # under spark-submit a session already exists; standalone, build one
     from xmlschema_spark.session import get_spark

@@ -36,15 +36,62 @@ def normalize_text(col):
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
-def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_duplicates(
+    df: DataFrame, text_col: str, id_col: str, max_ids: int | None = None
+) -> DataFrame:
     """Groups of byte-identical (normalized) docs → (content_hash, n_docs,
-    doc_ids). One shuffle; map-side partial agg handles skew."""
+    doc_ids). One shuffle; map-side partial agg handles skew.
+
+    ``max_ids`` bounds the per-group id list to the ``max_ids`` smallest
+    ids via a windowed top-k: the window sort is sort-based and
+    spill-safe, the filter drops rows beyond k BEFORE collect_list, and
+    the follow-up groupBy reuses the window's hash partitioning (no
+    second exchange). At 10^12 rows a boilerplate document can have 10^8
+    copies — an unbounded ``collect_list`` buffer would OOM the agg;
+    ``n_docs`` stays exact either way. Default None keeps the full
+    (sorted) list for small-scale/oracle use."""
+    from pyspark.sql import Window
+
     h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    grouped = df.select(h, F.col(id_col))
+    if max_ids is None:
+        return (
+            grouped.groupBy("content_hash")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            )
+            .filter(F.col("n_docs") > 1)
+        )
+    w = Window.partitionBy("content_hash")
+    ranked = (
+        grouped.withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("__rn", F.row_number().over(w.orderBy(id_col)))
+        .filter((F.col("__n") > 1) & (F.col("__rn") <= max_ids))
+    )
+    return ranked.groupBy("content_hash").agg(
+        F.first("__n").alias("n_docs"),
+        F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The pipeline-facing dedup: keep ONE representative per
+    byte-identical (normalized) content group — the smallest ``id_col``
+    value, so the choice is deterministic — and drop the rest. Returns
+    the deduplicated rows with the original schema.
+
+    Plan: one hash-partition window on the content hash (sort-based,
+    spill-safe), filter ``row_number() == 1`` — no collect_list, no agg
+    buffer growth on boilerplate groups, safe at any group size."""
+    from pyspark.sql import Window
+
+    h = F.md5(normalize_text(F.col(text_col)))
+    w = Window.partitionBy(h).orderBy(id_col)
     return (
-        df.select(h, F.col(id_col))
-        .groupBy("content_hash")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
-        .filter(F.col("n_docs") > 1)
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
 

@@ -145,6 +145,92 @@ def psi(
     )
 
 
+def ks_exact(
+    df: DataFrame,
+    column: str,
+    partition_col: str,
+    reference: DataFrame | None = None,
+    quantize_scale: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per partition vs
+    reference → (partition, ks, n) as a PURE Catalyst plan (counts +
+    window cumulative sums) — no UDF.
+
+    Unlike :func:`ks` (approx-quantile grid + grouped-map pandas UDF),
+    this is exact on the (optionally quantized) values and uses integer
+    count arithmetic until the final division, so results are
+    bit-deterministic across engines — DuckDB-oracle verifiable.
+    Intended for discrete or quantized columns: pass ``quantize_scale=s``
+    to bin continuous data at 10^-s resolution (``floor(x * 10^s)``),
+    which also bounds the distinct-value skeleton.
+
+    Scale shape: the heavy aggregations are map-side-combined counts
+    keyed by (partition, value); everything after runs on distinct-value
+    cardinality, not row cardinality. The reference-CDF cumsum uses a
+    global ordered window — a single-partition funnel over only the
+    distinct (quantized) values, fine whenever that cardinality is
+    bounded (the point of ``quantize_scale``).
+
+    The supremum |F_part − F_ref| is evaluated at every distinct value of
+    either side (both empirical CDFs only jump there), so the statistic
+    is exact for the quantized distributions.
+    """
+    ref = reference if reference is not None else df
+
+    def _pv(d: DataFrame, with_part: bool) -> DataFrame:
+        v = F.col(column)
+        if quantize_scale is not None:
+            v = F.floor(v * F.lit(float(10**quantize_scale))).cast("long")
+        cols = [v.alias("__v")]
+        if with_part:
+            cols.insert(0, F.col(partition_col).alias("__part"))
+        return d.select(*cols).filter(F.col(column).isNotNull())
+
+    part_counts = _pv(df, True).groupBy("__part", "__v").agg(
+        F.count(F.lit(1)).alias("__np")
+    )
+    if reference is None:
+        ref_counts = part_counts.groupBy("__v").agg(F.sum("__np").alias("__nr"))
+    else:
+        ref_counts = _pv(ref, False).groupBy("__v").agg(
+            F.count(F.lit(1)).alias("__nr")
+        )
+
+    # all jump points: distinct values of either side
+    values = part_counts.select("__v").union(ref_counts.select("__v")).distinct()
+    # reference CDF at each value (distinct-value-sized frame; ordered
+    # window is a deliberate single-partition funnel over few rows)
+    w_ref = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    ref_cdf = (
+        values.join(ref_counts, "__v", "left")
+        .withColumn("__cum_r", F.sum(F.coalesce("__nr", F.lit(0))).over(w_ref))
+        .crossJoin(ref_counts.agg(F.sum("__nr").alias("__nref")))
+        .select("__v", "__cum_r", "__nref")
+    )
+    # per-partition CDF on the (partitions × values) skeleton
+    skeleton = part_counts.select("__part").distinct().crossJoin(values)
+    w_p = (
+        Window.partitionBy("__part")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("__part")
+    grid = (
+        skeleton.join(part_counts, ["__part", "__v"], "left")
+        .withColumn("__cum_p", F.sum(F.coalesce("__np", F.lit(0))).over(w_p))
+        .withColumn("__n", F.sum(F.coalesce("__np", F.lit(0))).over(w_all))
+        .join(ref_cdf, "__v")
+    )
+    return grid.groupBy(F.col("__part").alias(partition_col)).agg(
+        F.max(
+            F.abs(
+                F.col("__cum_p") / F.col("__n") - F.col("__cum_r") / F.col("__nref")
+            )
+        ).alias("ks"),
+        F.first("__n").alias("n"),
+    )
+
+
 def ks(
     df: DataFrame,
     column: str,
@@ -191,3 +277,29 @@ def ks(
         .groupBy(partition_col)
         .applyInPandas(_ks_one, schema=out_schema)
     )
+
+
+def reference_histogram(
+    df: DataFrame, column: str, bins: int = 10
+) -> tuple[float, float, list[float]]:
+    """Batch-side reference for streaming drift: ``(lo, hi, ref_p)`` with
+    ``ref_p`` the per-bucket proportions of the non-null values. One
+    pass for bounds + one map-side-combined count agg; the result is a
+    few dozen floats, meant to be shipped in a closure to
+    :func:`xmlschema_spark.streaming.windowed_psi`."""
+    lo, hi = df.agg(
+        F.min(column).cast("double"), F.max(column).cast("double")
+    ).first()
+    if lo is None:
+        raise ValueError(f"reference for {column!r} is empty / all-null")
+    rows = (
+        _bucketize(df.select(column).filter(F.col(column).isNotNull()), column, lo, hi, bins)
+        .groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = [0.0] * bins
+    for r in rows:
+        counts[int(r["__bucket"])] = float(r["n"])
+    total = sum(counts) or 1.0
+    return float(lo), float(hi), [c / total for c in counts]

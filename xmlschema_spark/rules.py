@@ -273,6 +273,151 @@ class RuleSet:
                     f"column {col!r}: fractionDigits > totalDigits"
                 )
 
+    def check_restriction_of(self, base: "RuleSet") -> None:
+        """Derivation-by-restriction check: every value admitted by THIS
+        ruleset must also be admitted by ``base`` — i.e. this set only
+        narrows. The rule-table analog of the reference's restriction
+        machinery (groups.py:339-416 ``is_restriction`` for particles,
+        xsdbase.py:789-799 ``has_occurs_restriction`` for occurrence
+        bounds, and the facet-derivation consistency in
+        simple_types.py:199-228). Raises :class:`RuleCompileError` with
+        every violation found.
+
+        Checked per (column, gate) target:
+
+        - numeric bounds may only tighten (inclusive→exclusive at the
+          same value counts as tightening; dropping a base bound is a
+          violation);
+        - minLength may only rise, maxLength only fall; an exact base
+          ``length`` must be kept verbatim;
+        - totalDigits / fractionDigits may only fall;
+        - enumeration values must be a subset of the base's;
+        - a base ``fixed`` value must be kept verbatim;
+        - ``not_null`` / ``occurs`` cardinality may only tighten
+          (required cannot become optional, max occurs cannot rise);
+        - non-comparable base facets (pattern, assertion_sql, whitespace,
+          type casts…) must reappear with identical params — in XSD a
+          restriction inherits them, so dropping one widens the type.
+        """
+        errs: list[str] = []
+
+        def _by_target(rs: "RuleSet") -> dict[tuple, dict[str, Rule]]:
+            out: dict[tuple, dict[str, Rule]] = {}
+            for r in rs.rules:
+                out.setdefault((r.column, r.gate), {})[r.kind] = r
+            return out
+
+        mine, theirs = _by_target(self), _by_target(base)
+        _COMPARABLE = {
+            "min", "max", "min_exclusive", "max_exclusive", "min_length",
+            "max_length", "length", "total_digits", "fraction_digits",
+            "enumeration", "fixed", "not_null", "occurs",
+        }
+
+        for target, b_kinds in theirs.items():
+            col = f"column {target[0]!r}" + (f" (gate {target[1]!r})" if target[1] else "")
+            d_kinds = mine.get(target, {})
+
+            def _bound(kinds, lo: bool):
+                """(value, exclusive) of the lower/upper bound, or None."""
+                inc, exc = ("min", "min_exclusive") if lo else ("max", "max_exclusive")
+                if exc in kinds:
+                    return kinds[exc].param("value"), True
+                if inc in kinds:
+                    return kinds[inc].param("value"), False
+                return None
+
+            for lo in (True, False):
+                b, d = _bound(b_kinds, lo), _bound(d_kinds, lo)
+                name = "lower" if lo else "upper"
+                if b is not None and d is None:
+                    errs.append(f"{col}: base {name} bound {b[0]} dropped")
+                elif b is not None and d is not None:
+                    bv, bex = b
+                    dv, dex = d
+                    wider = (dv < bv if lo else dv > bv) or (
+                        dv == bv and bex and not dex
+                    )
+                    if wider:
+                        errs.append(
+                            f"{col}: {name} bound {'('+str(dv) if dex else '['+str(dv)}"
+                            f" widens base {'('+str(bv) if bex else '['+str(bv)}"
+                        )
+
+            for kind, cmp_ok in (
+                ("min_length", lambda b, d: d >= b),
+                ("max_length", lambda b, d: d <= b),
+                ("total_digits", lambda b, d: d <= b),
+                ("fraction_digits", lambda b, d: d <= b),
+            ):
+                if kind in b_kinds:
+                    if kind not in d_kinds:
+                        errs.append(f"{col}: base {kind} dropped")
+                    elif not cmp_ok(
+                        b_kinds[kind].param("value"), d_kinds[kind].param("value")
+                    ):
+                        errs.append(
+                            f"{col}: {kind} {d_kinds[kind].param('value')} widens "
+                            f"base {b_kinds[kind].param('value')}"
+                        )
+
+            if "length" in b_kinds:
+                if (
+                    "length" not in d_kinds
+                    or d_kinds["length"].param("value") != b_kinds["length"].param("value")
+                ):
+                    errs.append(f"{col}: exact base length must be kept verbatim")
+            if "enumeration" in b_kinds:
+                b_vals = set(b_kinds["enumeration"].param("values", []))
+                if "enumeration" not in d_kinds:
+                    errs.append(f"{col}: base enumeration dropped")
+                else:
+                    extra = set(d_kinds["enumeration"].param("values", [])) - b_vals
+                    if extra:
+                        errs.append(
+                            f"{col}: enumeration adds values {sorted(extra)} "
+                            "not in base"
+                        )
+            if "fixed" in b_kinds and (
+                "fixed" not in d_kinds
+                or d_kinds["fixed"].param("value") != b_kinds["fixed"].param("value")
+            ):
+                errs.append(f"{col}: base fixed value must be kept verbatim")
+            if "not_null" in b_kinds and "not_null" not in d_kinds:
+                errs.append(f"{col}: base required (not_null) cannot become optional")
+            if "occurs" in b_kinds:
+                if "occurs" not in d_kinds:
+                    errs.append(f"{col}: base occurs bounds dropped")
+                else:
+                    b_min = b_kinds["occurs"].param("min", 0)
+                    b_max = b_kinds["occurs"].param("max")  # None = unbounded
+                    d_min = d_kinds["occurs"].param("min", 0)
+                    d_max = d_kinds["occurs"].param("max")
+                    # xsdbase.py:789-799 has_occurs_restriction
+                    if d_min < b_min or (
+                        b_max is not None and (d_max is None or d_max > b_max)
+                    ):
+                        errs.append(
+                            f"{col}: occurs [{d_min}, {d_max}] widens base "
+                            f"[{b_min}, {b_max}]"
+                        )
+
+            for kind, b_rule in b_kinds.items():
+                if kind in _COMPARABLE:
+                    continue
+                d_rule = d_kinds.get(kind)
+                if d_rule is None or d_rule.params != b_rule.params:
+                    errs.append(
+                        f"{col}: inherited base facet {kind!r} must reappear "
+                        "with identical params (restriction may add facets, "
+                        "not drop or alter inherited ones)"
+                    )
+
+        if errs:
+            raise RuleCompileError(
+                "not a valid restriction of base:\n  " + "\n  ".join(errs)
+            )
+
     def to_json(self) -> str:
         return json.dumps(
             [
