@@ -152,7 +152,8 @@ def test_windowed_psi_streaming(spark, tmp_path):
     # stream input: everything concentrated in the top decile → high PSI
     src = str(tmp_path / "src")
     spark.range(2_000).select(
-        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % 60).alias("ts"),
+        # minute-aligned base so all 60 offsets land in ONE tumbling window
+        F.timestamp_seconds(F.lit(1_699_999_980) + F.col("id") % 60).alias("ts"),
         (95.0 + (F.col("id") % 5)).alias("v"),
     ).write.parquet(src)
     stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
