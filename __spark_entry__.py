@@ -170,6 +170,19 @@ def q_histogram_mktsegment(spark, sf_dir):
     return stats_ops.value_histogram(df, "c_mktsegment")
 
 
+def q_quantiles_customer(spark, sf_dir):
+    """Single-agg quantile profile; exact interpolating percentile (the
+    oracle path — matches ANSI/DuckDB quantile_cont; production default is
+    the percentile_approx sketch)."""
+    df = _t(spark, sf_dir, "customer")
+    prof = stats_ops.quantiles(
+        df, ["c_acctbal", "c_custkey"], probs=(0.25, 0.5, 0.75, 0.95), exact=True
+    )
+    return prof.select(
+        "column", "p", F.round("value", 6).alias("value")
+    )
+
+
 def q_psi_drift_events(spark, sf_dir):
     """PSI distribution drift of `value` per event_type vs whole table."""
     df = _t(spark, sf_dir, "events")
@@ -760,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_nulls_orders": q_key_nulls_orders,
         "stats_profile_customer": q_stats_profile_customer,
         "histogram_mktsegment": q_histogram_mktsegment,
+        "quantiles_customer": q_quantiles_customer,
         "psi_drift_events": q_psi_drift_events,
         "ks_drift_events": q_ks_drift_events,
         "ks_exact_events": q_ks_exact_events,
@@ -924,6 +938,18 @@ FROM customer
 """,
         "histogram_mktsegment": """
 SELECT c_mktsegment AS value, count(*)::BIGINT AS n FROM customer GROUP BY c_mktsegment
+""",
+        "quantiles_customer": """
+WITH a AS (
+  SELECT quantile_cont(CAST(c_acctbal AS DOUBLE), [0.25, 0.5, 0.75, 0.95]) AS qa,
+         quantile_cont(CAST(c_custkey AS DOUBLE), [0.25, 0.5, 0.75, 0.95]) AS qk
+  FROM customer
+)
+SELECT 'c_acctbal' AS "column", unnest([0.25, 0.5, 0.75, 0.95])::DOUBLE AS p,
+       round(unnest(qa), 6)::DOUBLE AS value FROM a
+UNION ALL
+SELECT 'c_custkey', unnest([0.25, 0.5, 0.75, 0.95])::DOUBLE,
+       round(unnest(qk), 6)::DOUBLE FROM a
 """,
         "psi_drift_events": """
 WITH bounds AS (

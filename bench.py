@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "unique_dups_scoped",         # partition-scoped uniqueness
     "keyref_orphans",             # broadcast left-anti referential join
     "stats_profile_customer",     # single-pass wide stats agg
+    "quantiles_customer",         # single-agg quantile profile
     "psi_drift_events",           # SQL-only drift
     "ks_drift_events",            # applyInPandas drift
     "ks_exact_events",            # pure-Catalyst exact KS (counts + window cumsums)
@@ -92,16 +93,22 @@ def main():
         _force(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    # --- headline: full constraint-suite pass over the image+caption table
-    # restart the context with task.cpus=2 for this decode-bound phase:
-    # each pandas-UDF task's slot then covers its JVM thread AND its Arrow
-    # Python worker, so local[k] runs k busy threads instead of 2k — the
-    # right-sized executor config (measured ~45% faster at local[32] than
-    # the oversubscribed default; see BENCH.md). task.cpus is fixed at
-    # context creation, hence the restart; the SQL-query timings above
-    # keep the default so every core is a slot for JVM-only plans.
-    spark.stop()
-    spark = get_spark("bench_images", cores=cpus, extra_conf={"spark.task.cpus": "2"})
+    # --- headline: full constraint-suite pass over the image+caption table,
+    # in the production throughput shape proven out in BENCH.md: the
+    # suite's four independent outputs (single-scan one-pass verdicts with
+    # every row facet + Arrow decode/PSNR/phash + per-column stats;
+    # uniqueness on image_id; salted uniqueness on phash; per-partition PSI
+    # drift) submitted CONCURRENTLY with default task sizing — the
+    # scheduler fills decode-UDF Arrow/Python stalls with JVM-only tasks
+    # from the sibling jobs (measured ~75% faster at local[32] than
+    # task.cpus=2 serial; see BENCH.md). AQE is toggled off for this
+    # fixed-shape phase only: its per-stage driver replanning adds serial
+    # latency and buys nothing when stage shapes are static.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from xmlschema_spark.operators import drift as drift_ops
+    from xmlschema_spark.operators import identity as id_ops
+
     df = generate_images_df(
         spark, N_IMAGES, seed=99, n_parts=64,
         null_frac=0.02, bad_dims_frac=0.02, corrupt_frac=0.02, dup_id_frac=0.02,
@@ -110,19 +117,25 @@ def main():
     df = df.cache()
     df.count()  # materialize input outside the timed window
     eng = ValidationEngine(default_image_ruleset())
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     def run_suite():
-        res = eng.validate(df, run_id="bench", with_stats=True)
-        _force(res.violations)
-        _force(res.verdicts)
-        _force(res.stats)
-        res.unpersist()
+        jobs = [
+            lambda: _force(eng.validate_one_pass(df, run_id="bench", with_stats=True)),
+            lambda: _force(id_ops.duplicate_values(df, ["image_id"])),
+            lambda: _force(id_ops.duplicate_values(df, ["phash"], salt_partitions=16)),
+            lambda: _force(drift_ops.psi(df, "w", "part", bins=10)),
+        ]
+        with ThreadPoolExecutor(4) as ex:
+            for f in [ex.submit(j) for j in jobs]:
+                f.result()
 
     run_suite()  # untimed plan-compile warm-up (same run_id → same plans)
     t0 = time.time()
     run_suite()
     suite_sec = time.time() - t0
     timings["image_constraint_suite"] = round(suite_sec, 3)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     df.unpersist()
 
     total = round(sum(timings.values()), 3)

@@ -313,3 +313,28 @@ def test_drop_exact_duplicates_keeps_min_id(spark, docs):
     for g in groups:
         ids = set(g.doc_ids)
         assert min(ids) in kept_ids and not (ids - {min(ids)}) & kept_ids
+
+
+def test_quantile_profile_exact_and_sketch(spark):
+    from xmlschema_spark.operators import stats
+
+    df = spark.range(0, 101, 1, 8).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2).cast("double").alias("y"),
+    )
+    got = {
+        (r.column, r.p): r.value
+        for r in stats.quantiles(df, ["x", "y"], probs=(0.0, 0.5, 1.0), exact=True).collect()
+    }
+    # exact interpolating percentile over 0..100 / 0..200
+    assert got[("x", 0.0)] == 0.0
+    assert got[("x", 0.5)] == 50.0
+    assert got[("x", 1.0)] == 100.0
+    assert got[("y", 0.5)] == 100.0
+    # the one-pass sketch (scale path) agrees on the same input within
+    # its accuracy bound at this size
+    approx = {
+        (r.column, r.p): r.value
+        for r in stats.quantiles(df, ["x"], probs=(0.5,)).collect()
+    }
+    assert abs(approx[("x", 0.5)] - 50.0) <= 1.0

@@ -71,6 +71,49 @@ def profile(
     )
 
 
+def quantiles(
+    df: DataFrame,
+    columns: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    exact: bool = False,
+    scope_col: str | None = None,
+) -> DataFrame:
+    """Long-format quantile profile: (scope?, column, p, value).
+
+    Like :func:`profile`, everything is ONE ``df.agg(...)`` — all columns'
+    quantiles in a single scan with partial aggregation. ``exact=True``
+    uses Spark's exact interpolating ``percentile`` (same linear
+    interpolation as ANSI/DuckDB ``quantile_cont`` — the oracle path;
+    requires a full sort buffer per column, small-scale only). The default
+    is ``percentile_approx`` (one-pass KLL-style sketch, bounded memory —
+    the 10^12-row path)."""
+    p_arr = F.array(*[F.lit(float(p)) for p in probs])
+    aggs = []
+    for c in columns:
+        col = F.col(c).cast("double")
+        q = F.percentile(col, p_arr) if exact else F.percentile_approx(col, p_arr, 10_000)
+        aggs.append(q.alias(f"{c}__q"))
+    group = [scope_col] if scope_col else []
+    wide = df.groupBy(*group).agg(*aggs)
+
+    # 1-row (per scope) reshape: stack columns, then posexplode the prob
+    # array — still the single underlying aggregation, no re-scan
+    stack_items = ", ".join(f"'{c}', {c}__q" for c in columns)
+    stacked = wide.selectExpr(
+        *group, f"stack({len(columns)}, {stack_items}) as (column, qs)"
+    )
+    return stacked.select(
+        *group,
+        "column",
+        F.posexplode("qs").alias("pos", "value"),
+    ).select(
+        *group,
+        "column",
+        F.element_at(p_arr, F.col("pos") + 1).alias("p"),
+        "value",
+    )
+
+
 def value_histogram(df: DataFrame, column: str, scope_col: str | None = None) -> DataFrame:
     """Exact value histogram for a low-cardinality column (e.g. ``fmt``):
     (scope?, value, n). groupBy → two-phase hash agg; fine for enum-like
