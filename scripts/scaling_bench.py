@@ -66,12 +66,23 @@ n = {n}
 # 11.6-15.9s for the violations job at local[32]), distorting the
 # parallelism comparison; stage shapes here are static so it buys nothing.
 # (Production runs keep AQE on — skew-join splitting matters at 10^12 rows.)
-conf = {{"spark.sql.adaptive.enabled": "false"}}
+conf = {{"spark.sql.adaptive.enabled": "false",
+         # FAIR job scheduling: the suite's four outputs share slots from
+         # the start, so no job's tasks become a serial tail behind the
+         # long decode stage (FIFO starves later-submitted tiny jobs until
+         # the decode waves free slots — an Amdahl tail the 4N level pays
+         # for 4x as dearly).
+         "spark.scheduler.mode": "FAIR"}}
 if {task_cpus} > 1:
     conf["spark.task.cpus"] = str({task_cpus})
 spark = get_spark("scaling", cores=cores, extra_conf=conf)
+# 256 input partitions = 8 task waves at 32 slots (vs 2 waves at 64
+# parts): per-task decode times vary ~4x with image area, and a 2-wave
+# schedule turns that variance into an idle-slot tail at exactly the 4N
+# level. 2-4+ waves per slot is the standard sizing rule; the per-task
+# overhead it adds at N is negligible.
 df = generate_images_df(
-    spark, n, seed=1234, n_parts=64,
+    spark, n, seed=1234, n_parts=256,
     null_frac=0.02, bad_dims_frac=0.02, corrupt_frac=0.02, dup_id_frac=0.02,
     min_side={min_side}, max_side={max_side},
 )
@@ -96,18 +107,32 @@ def run_suite():
     # (standard multi-job Spark practice): the scheduler interleaves their
     # stages, which removes the serial job-submission + PSI-driver-numpy
     # gaps between them — serial time the 4N level pays 4x as dearly for.
+    # the tiny set-level jobs are submitted FIRST and the long decode job
+    # LAST. Each job runs in its OWN fair-scheduler pool (a distinct pool
+    # per submitting thread): with scheduler.mode=FAIR the root pool
+    # shares slots fairly BETWEEN pools, whereas jobs sharing one pool
+    # still queue FIFO within it.
     jobs = [
-        lambda: eng.validate_one_pass(df, run_id="scale", with_stats=True)
-        .write.format("noop").mode("overwrite").save(),
         lambda: id_ops.duplicate_values(df, ["image_id"])
         .write.format("noop").mode("overwrite").save(),
         lambda: id_ops.duplicate_values(df, ["phash"], salt_partitions=16)
         .write.format("noop").mode("overwrite").save(),
         lambda: drift_ops.psi(df, "w", "part", bins=10)
         .write.format("noop").mode("overwrite").save(),
+        lambda: eng.validate_one_pass(df, run_id="scale", with_stats=True)
+        .write.format("noop").mode("overwrite").save(),
     ]
+
+    def in_pool(i, job):
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", "suite%d" % i)
+        try:
+            job()
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
     with ThreadPoolExecutor(4) as ex:
-        for f in [ex.submit(j) for j in jobs]:
+        for f in [ex.submit(in_pool, i, j) for i, j in enumerate(jobs)]:
             f.result()
 
 # untimed warm-up: spins up the Python worker pool (pandas/numpy import

@@ -40,8 +40,12 @@ LOSSLESS = frozenset({"bmp", "png"})
 HEADER = struct.Struct("<4sII")
 
 
-def encode_image(pixels: np.ndarray, fmt: str, quality: int = 8) -> bytes:
-    """Encode an (h, w, 3) uint8 array. ``quality`` = quant step for jpeg."""
+def encode_image(pixels: np.ndarray, fmt: str, quality: int = 8, level: int = 6) -> bytes:
+    """Encode an (h, w, 3) uint8 array. ``quality`` = quant step for jpeg.
+
+    ``level`` is the zlib effort (1-9) — it changes payload SIZE only,
+    never decoded values, so consistency checks that re-encode internally
+    may use ``level=1`` for throughput."""
     if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
         raise ValueError(f"expected (h, w, 3) uint8, got {pixels.shape} {pixels.dtype}")
     h, w = pixels.shape[:2]
@@ -49,11 +53,11 @@ def encode_image(pixels: np.ndarray, fmt: str, quality: int = 8) -> bytes:
     if fmt == "bmp":
         return header + pixels.tobytes()
     if fmt == "png":
-        return header + zlib.compress(pixels.tobytes(), 6)
+        return header + zlib.compress(pixels.tobytes(), level)
     if fmt == "jpeg":
         q = max(1, min(255, int(quality)))
         quantized = (pixels // q) * q + q // 2
-        return header + bytes([q]) + zlib.compress(quantized.astype(np.uint8).tobytes(), 6)
+        return header + bytes([q]) + zlib.compress(quantized.astype(np.uint8).tobytes(), level)
     if fmt == "webp":
         h2, w2 = (h + 1) // 2, (w + 1) // 2
         # box-downsample 2x (pad odd edges by replication)
@@ -61,32 +65,37 @@ def encode_image(pixels: np.ndarray, fmt: str, quality: int = 8) -> bytes:
         small = (
             padded.reshape(h2, 2, w2, 2, 3).mean(axis=(1, 3)).round().astype(np.uint8)
         )
-        return header + zlib.compress(small.tobytes(), 6)
+        return header + zlib.compress(small.tobytes(), level)
     raise ValueError(f"unknown fmt: {fmt}")
 
 
-def decode_image(data: bytes) -> tuple[np.ndarray, str]:
-    """Decode to ((h, w, 3) uint8, fmt). Raises ValueError on corruption."""
+def decode_image(data) -> tuple[np.ndarray, str]:
+    """Decode to ((h, w, 3) uint8, fmt). Raises ValueError on corruption.
+
+    Accepts any buffer (bytes / bytearray / memoryview / Arrow buffer) and
+    never copies the payload before inflating — at 10^12 MB-scale rows the
+    extra full-payload copies are pure DRAM traffic, the one resource a
+    bigger cluster node does NOT scale."""
     if data is None or len(data) < HEADER.size:
         raise ValueError("truncated header")
     magic, w, h = HEADER.unpack_from(data, 0)
     fmt = _MAGIC_REV.get(magic)
     if fmt is None:
-        raise ValueError(f"bad magic {magic!r}")
-    body = data[HEADER.size:]
+        raise ValueError(f"bad magic {bytes(magic)!r}")
+    body = memoryview(data)[HEADER.size:]
 
-    def _inflate(b: bytes) -> bytes:
+    def _inflate(b) -> bytes:
         try:
             return zlib.decompress(b)
         except zlib.error as e:
             raise ValueError(f"corrupt payload: {e}") from e
 
     if fmt == "bmp":
-        raw = bytes(body)
+        raw = body
     elif fmt == "png":
         raw = _inflate(body)
     elif fmt == "jpeg":
-        if not body:
+        if len(body) == 0:
             raise ValueError("missing quant byte")
         raw = _inflate(body[1:])
     elif fmt == "webp":
@@ -99,14 +108,21 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         return np.ascontiguousarray(big), fmt
     if len(raw) != h * w * 3:
         raise ValueError(f"payload size mismatch: {len(raw)} != {h * w * 3}")
-    return np.frombuffer(raw, np.uint8).reshape(h, w, 3).copy(), fmt
+    # .copy() detaches the pixels from the caller's buffer (safe to keep);
+    # for png/jpeg `raw` is freshly inflated so a view is already private
+    arr = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+    return (arr.copy() if fmt == "bmp" else arr), fmt
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     if a.shape != b.shape:
         return 0.0
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    # integer diff/square (exact, identical mse to the float64 formula)
+    # touches 4 bytes/px of temporaries instead of ~32 — this kernel is
+    # memory-bandwidth-bound when every core runs it at once
+    d = a.astype(np.int32) - b
+    mse = np.mean(np.square(d))
     if mse == 0:
         return float("inf")
     return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
@@ -114,19 +130,25 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 def _block_mean_gray(pixels: np.ndarray, n: int = 8) -> np.ndarray:
     """Downsample luma to an n×n grid of block means (any input size)."""
-    # elementwise luma (not a BLAS matvec: BLAS would spin up a per-worker
-    # thread pool, oversubscribing cores when many executors run at once)
-    p = pixels.astype(np.float64)
-    gray = p[..., 0] * 0.299 + p[..., 1] * 0.587 + p[..., 2] * 0.114
+    # elementwise float32 luma (not a BLAS matvec: BLAS would spin up a
+    # per-worker thread pool, oversubscribing cores when many executors run
+    # at once; float32 halves the memory traffic of this bandwidth-bound
+    # kernel). Block sums via two add.reduceat C passes — no Python loop.
+    p = pixels.astype(np.float32)
+    gray = (
+        p[..., 0] * np.float32(0.299)
+        + p[..., 1] * np.float32(0.587)
+        + p[..., 2] * np.float32(0.114)
+    )
     h, w = gray.shape
     ys = (np.arange(n + 1) * h) // n
     xs = (np.arange(n + 1) * w) // n
-    out = np.empty((n, n))
-    for i in range(n):
-        for j in range(n):
-            block = gray[ys[i]:max(ys[i + 1], ys[i] + 1), xs[j]:max(xs[j + 1], xs[j] + 1)]
-            out[i, j] = block.mean()
-    return out
+    # reduceat on repeated indices (h or w < n) returns the single element
+    # a[i] — the same ≥1-element block the old slice fallback used
+    row_sums = np.add.reduceat(gray, ys[:-1], axis=0)
+    sums = np.add.reduceat(row_sums, xs[:-1], axis=1)
+    areas = np.maximum(np.diff(ys), 1)[:, None] * np.maximum(np.diff(xs), 1)[None, :]
+    return (sums / areas).astype(np.float64)
 
 
 def phash64(pixels: np.ndarray) -> int:
@@ -136,9 +158,9 @@ def phash64(pixels: np.ndarray) -> int:
     """
     grid = _block_mean_gray(pixels, 8)
     bits = (grid > np.median(grid)).flatten()
-    val = 0
-    for bit in bits:
-        val = (val << 1) | int(bit)
+    # packbits is MSB-first, so bits[0] lands in the top bit — identical to
+    # the shift-left fold this replaces
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return val - (1 << 64) if val >= (1 << 63) else val
 
 

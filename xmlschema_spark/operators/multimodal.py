@@ -68,64 +68,99 @@ def decode_check(
     passthrough = [c for c in (passthrough or []) if c != id_col]
     cols = [id_col, "bytes", "w", "h", "fmt"] + (["phash"] if check_phash else [])
     cols += [c for c in passthrough if c not in cols]
-    out_fields = (
-        "image_id", "decode_ok", "fmt_match", "dims_match",
-        "psnr", "psnr_ok", "phash_hamming", "phash_match", "error",
-    )
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = {k: [] for k in out_fields}
-            for row in pdf.itertuples(index=False):
-                rid = getattr(row, id_col)
-                out["image_id"].append(rid)
+    def batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        for rb in it:
+            n = rb.num_rows
+            names = rb.schema.names
+            barr = rb.column(names.index("bytes"))
+            # zero-copy per-row payload views: slice the Arrow data buffer
+            # through the offsets buffer directly — materializing a Python
+            # ``bytes`` per row would copy the full payload stream again
+            # (pure DRAM traffic, the one resource more cores don't add)
+            validity, off_buf = barr.buffers()[0], barr.buffers()[1]
+            data_mv = memoryview(barr.buffers()[2]) if barr.buffers()[2] is not None else None
+            offs = np.frombuffer(off_buf, np.int32, count=barr.offset + n + 1)
+            if validity is None:
+                valid = np.ones(n, bool)
+            else:
+                valid = np.unpackbits(
+                    np.frombuffer(validity, np.uint8), bitorder="little"
+                )[barr.offset: barr.offset + n].astype(bool)
+            ws = rb.column(names.index("w")).to_numpy(zero_copy_only=False)
+            hs = rb.column(names.index("h")).to_numpy(zero_copy_only=False)
+            fmts = rb.column(names.index("fmt")).to_pylist()
+            phs = (
+                rb.column(names.index("phash")).to_numpy(zero_copy_only=False)
+                if check_phash else None
+            )
+
+            decode_ok = np.zeros(n, bool)
+            fmt_match = np.zeros(n, bool)
+            dims_match = np.zeros(n, bool)
+            psnr_v = np.zeros(n, np.float64)
+            hamming_v = np.full(n, 64, np.int32)
+            phash_ok = np.zeros(n, bool)
+            errors: list[str | None] = [None] * n
+
+            for i in range(n):
                 try:
-                    pixels, actual_fmt = codec.decode_image(
-                        bytes(row.bytes) if row.bytes is not None else None
-                    )
+                    if not valid[i]:
+                        raise ValueError("truncated header")
+                    o0, o1 = offs[barr.offset + i], offs[barr.offset + i + 1]
+                    pixels, actual_fmt = codec.decode_image(data_mv[o0:o1])
                     dh, dw = pixels.shape[:2]
-                    fmt_match = (row.fmt == actual_fmt)
-                    dims_match = (row.w == dw) and (row.h == dh)
+                    fmt_match[i] = fmts[i] == actual_fmt
+                    dims_match[i] = (ws[i] == dw) and (hs[i] == dh)
                     if actual_fmt in codec.LOSSLESS:
-                        p = float("inf")
+                        psnr_v[i] = float("inf")
                     else:
                         # internal-consistency PSNR: re-encode decoded
                         # pixels with the same codec and compare decodes
-                        re_enc = codec.encode_image(pixels, actual_fmt)
+                        # (zlib level changes payload size only — level 1
+                        # for throughput)
+                        re_enc = codec.encode_image(pixels, actual_fmt, level=1)
                         re_dec, _ = codec.decode_image(re_enc)
-                        p = codec.psnr(pixels, re_dec)
-                    phash_match, hamming = True, 0
+                        psnr_v[i] = codec.psnr(pixels, re_dec)
                     if check_phash:
-                        hamming = codec.hamming64(codec.phash64(pixels), int(row.phash))
+                        ham = codec.hamming64(codec.phash64(pixels), int(phs[i]))
                         limit = 0 if actual_fmt in codec.LOSSLESS else phash_max_hamming_lossy
-                        phash_match = hamming <= limit
-                    out["decode_ok"].append(True)
-                    out["fmt_match"].append(fmt_match)
-                    out["dims_match"].append(dims_match)
-                    out["psnr"].append(p)
-                    out["psnr_ok"].append(p >= psnr_db)
-                    out["phash_hamming"].append(hamming)
-                    out["phash_match"].append(phash_match)
-                    out["error"].append(None)
+                        hamming_v[i] = ham
+                        phash_ok[i] = ham <= limit
+                    else:
+                        hamming_v[i] = 0
+                        phash_ok[i] = True
+                    decode_ok[i] = True
                 except Exception as e:  # noqa: BLE001 — verdicts, not crashes
-                    out["decode_ok"].append(False)
-                    out["fmt_match"].append(False)
-                    out["dims_match"].append(False)
-                    out["psnr"].append(0.0)
-                    out["psnr_ok"].append(False)
-                    out["phash_hamming"].append(64)
-                    out["phash_match"].append(False)
-                    out["error"].append(f"{type(e).__name__}: {e}")
-            res = pd.DataFrame(out)
+                    errors[i] = f"{type(e).__name__}: {e}"
+
+            arrays = [
+                rb.column(names.index(id_col)),  # zero-copy passthrough
+                pa.array(decode_ok),
+                pa.array(fmt_match),
+                pa.array(dims_match),
+                pa.array(psnr_v),
+                pa.array((psnr_v >= psnr_db) & decode_ok),
+                pa.array(hamming_v, pa.int32()),
+                pa.array(phash_ok),
+                pa.array(errors, pa.string()),
+            ]
+            out_names = [
+                "image_id", "decode_ok", "fmt_match", "dims_match",
+                "psnr", "psnr_ok", "phash_hamming", "phash_match", "error",
+            ]
             for c in passthrough:
-                res[c] = pdf[c].values
-            yield res
+                arrays.append(rb.column(names.index(c)))  # zero-copy
+                out_names.append(c)
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
     schema_src = df.select(*cols).schema
     schema = DECODE_CHECK_SCHEMA + "".join(
         f", {c} {schema_src[c].dataType.simpleString()}" for c in passthrough
     )
-    return df.select(*cols).mapInPandas(batches, schema=schema)
+    return df.select(*cols).mapInArrow(batches, schema=schema)
 
 
 def regex_check(df: DataFrame, column: str, pattern: str, id_col: str) -> DataFrame:
@@ -156,7 +191,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int, id_col: str = "image_id
             ids, blobs = [], []
             for row in pdf.itertuples(index=False):
                 try:
-                    pixels, _ = codec.decode_image(bytes(row.bytes))
+                    pixels, _ = codec.decode_image(row.bytes)
                 except ValueError:
                     continue
                 h, w = pixels.shape[:2]
@@ -196,9 +231,7 @@ def extract_features(df: DataFrame, id_col: str = "image_id") -> DataFrame:
             for row in pdf.itertuples(index=False):
                 rid = getattr(row, id_col)
                 try:
-                    pixels, _ = codec.decode_image(
-                        bytes(row.bytes) if row.bytes is not None else None
-                    )
+                    pixels, _ = codec.decode_image(row.bytes)
                 except ValueError:
                     rows.append((rid, 0.0, 0.0, 0.0, 0.0, 0.0, [0.0] * 8, 0.0, False))
                     continue

@@ -53,6 +53,11 @@ def get_spark(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records)
         )
+        # cache batches row-capped to the Arrow batch size: the 10000-row
+        # default builds ~hundreds-of-MB columnar batches when rows carry
+        # MB-scale binary payloads — humongous G1 allocations that turn GC
+        # into a serial bottleneck exactly when every core is scanning
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", str(arrow_max_records))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
