@@ -59,7 +59,10 @@ BENCH_QUERIES = [
     "top_orders_per_segment",     # broadcast join + top-k window
 ]
 
-N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "20000"))
+# sized so the timed suite runs for several seconds after the Arrow-native
+# decode speedups (20k images finished in ~1-2s at local[32] — too short a
+# window on a drifting shared VM)
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "50000"))
 
 
 def _force(df):

@@ -67,3 +67,30 @@ def test_one_pass_no_decode_rules(spark, dirty):
     rows = eng.validate_one_pass(dirty, run_id="o", with_stats=False).collect()
     assert sum(int(r.metrics["cap_len"]) for r in rows) == 10
     assert sum(r.rows_checked for r in rows) == 200
+
+
+def test_one_pass_stats_streaming_hash_agg(spark, dirty):
+    """The one-pass aggregation must stay a streaming HashAggregate: exact
+    string min/max would give the agg a variable-width buffer and demote
+    the WHOLE pass to SortAggregate (a full sort of the decode output —
+    ruinous at 10^12 rows). String stats therefore aggregate an
+    order-preserving 7-byte-prefix ordinal, decoded back after the agg."""
+    from pyspark.sql import functions as F
+
+    eng = ValidationEngine(default_image_ruleset())
+    out = eng.validate_one_pass(dirty, run_id="p", with_stats=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+    # the prefix min/max equals the exact min/max's 7-byte prefix
+    rows = {r.partition_id: r for r in out.collect()}
+    exact = {
+        r.part: r
+        for r in dirty.groupBy("part").agg(
+            F.min("caption").alias("lo"), F.max("caption").alias("hi")
+        ).collect()
+    }
+    for part, e in exact.items():
+        assert rows[part]["caption__min"] == (e.lo or "")[:7] or e.lo is None
+        assert rows[part]["caption__max"] == (e.hi or "")[:7] or e.hi is None

@@ -406,6 +406,13 @@ class ValidationEngine:
         Row-level violation DETAIL rows and set-level rules (unique /
         keyref — inherently their own shuffles) remain on ``validate()``;
         verdict semantics here match it exactly (tested).
+
+        STRING columns' ``__min``/``__max`` stats are order-preserving
+        7-byte UTF-8 prefixes (exact prefixes of the true min/max): exact
+        full-string min/max needs a variable-width aggregation buffer,
+        which would demote this entire one-pass aggregation from a
+        streaming HashAggregate to a full-sort SortAggregate. Exact string
+        min/max lives in :func:`operators.stats.profile`.
         """
         decode_rules = [r for r in self.ruleset.dataset_rules if r.kind == "decode_image"]
         phash_rules = [r for r in self.ruleset.dataset_rules if r.kind == "phash_consistency"]
@@ -472,18 +479,46 @@ class ValidationEngine:
         ]
 
         stat_aggs: list = []
+        str_ord_cols: list[str] = []
         if with_stats:
+            from pyspark.sql import types as T
+
+            def _prefix_ord(col):
+                # order-preserving 7-byte UTF-8 prefix as decimal(17,0):
+                # hex() gives the byte string (hex digit order == byte
+                # order), right-zero-padded to fixed width so shorter
+                # strings sort first, conv() to a number whose agg buffer
+                # is a compact long. min/max over a STRING buffer would
+                # force the WHOLE one-pass aggregation into SortAggregate
+                # (a full sort of the decode output — ruinous at 10^12
+                # rows); the prefix ordinal keeps it a streaming
+                # HashAggregate. Exact full-string min/max lives in
+                # stats.profile (its own agg, DuckDB-oracle-checked).
+                return F.conv(
+                    F.rpad(F.substring(F.hex(col), 1, 14), 14, "0"), 16, 10
+                ).cast("decimal(17,0)")
+
             cols = stats_columns or [
                 f.name for f in df.schema.fields
                 if f.name not in (self.partition_col, "bytes")
             ]
             for c in cols:
-                stat_aggs += [
-                    F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-                    F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-                    F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-                    F.approx_count_distinct(c).alias(f"{c}__distinct"),
-                ]
+                if isinstance(df.schema[c].dataType, T.StringType):
+                    str_ord_cols.append(c)
+                    lo, hi = _prefix_ord(F.col(c)), _prefix_ord(F.col(c))
+                    stat_aggs += [
+                        F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                        F.min(lo).alias(f"{c}__min"),
+                        F.max(hi).alias(f"{c}__max"),
+                        F.approx_count_distinct(c).alias(f"{c}__distinct"),
+                    ]
+                else:
+                    stat_aggs += [
+                        F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                        F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                        F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+                        F.approx_count_distinct(c).alias(f"{c}__distinct"),
+                    ]
 
         wide = src.groupBy(
             F.col(self.partition_col).cast("string").alias("partition_id")
@@ -497,6 +532,21 @@ class ValidationEngine:
             F.array(*[F.lit(r) for r in rule_ids]),
             F.array(*[F.col(r).cast("string") for r in rule_ids]),
         ) if rule_ids else F.create_map()
+        def _stat_out(a: str):
+            # decode string-prefix ordinals back to readable prefixes
+            # (trailing zero-pad bytes stripped) after the aggregation
+            base = a.rsplit("__", 1)
+            if len(base) == 2 and base[1] in ("min", "max") and base[0] in str_ord_cols:
+                return F.regexp_replace(
+                    F.decode(
+                        F.unhex(F.lpad(F.hex(F.col(a).cast("bigint")), 14, "0")),
+                        "UTF-8",
+                    ),
+                    "\u0000+$",
+                    "",
+                ).alias(a)
+            return F.col(a)
+
         return wide.select(
             F.lit(run_id).alias("run_id"),
             "partition_id",
@@ -509,7 +559,7 @@ class ValidationEngine:
             .when(F.col("rows_checked") == 0, F.lit("notKnown"))
             .otherwise(F.lit("valid"))
             .alias("validity"),
-            *[F.col(a) for a in
+            *[_stat_out(a) for a in
               [f.name for f in wide.schema.fields if "__" in f.name]],
         )
 
