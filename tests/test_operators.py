@@ -338,3 +338,25 @@ def test_quantile_profile_exact_and_sketch(spark):
         for r in stats.quantiles(df, ["x"], probs=(0.5,)).collect()
     }
     assert abs(approx[("x", 0.5)] - 50.0) <= 1.0
+
+
+def test_profile_string_minmax_prefix_mode(spark):
+    """profile(string_minmax='prefix') keeps the wide agg a streaming
+    HashAggregate (exact string min/max demotes it to SortAggregate) and
+    its min/max equal the exact values' 7-byte prefixes."""
+    from xmlschema_spark.operators import stats
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("doc_"), (F.col("id") * 37 % 997).cast("string")).alias("s")
+    )
+    exact = stats.profile(df, ["s"])
+    pref = stats.profile(df, ["s"], string_minmax="prefix")
+    assert "SortAggregate" in exact._jdf.queryExecution().executedPlan().toString()
+    pp = pref._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in pp and "HashAggregate" in pp
+    e, p = exact.collect()[0], pref.collect()[0]
+    assert p.min_value == e.min_value[:7]
+    assert p.max_value == e.max_value[:7]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stats.profile(df, ["s"], string_minmax="nope")

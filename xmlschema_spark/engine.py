@@ -481,35 +481,24 @@ class ValidationEngine:
         stat_aggs: list = []
         str_ord_cols: list[str] = []
         if with_stats:
-            from pyspark.sql import types as T
-
-            def _prefix_ord(col):
-                # order-preserving 7-byte UTF-8 prefix as decimal(17,0):
-                # hex() gives the byte string (hex digit order == byte
-                # order), right-zero-padded to fixed width so shorter
-                # strings sort first, conv() to a number whose agg buffer
-                # is a compact long. min/max over a STRING buffer would
-                # force the WHOLE one-pass aggregation into SortAggregate
-                # (a full sort of the decode output — ruinous at 10^12
-                # rows); the prefix ordinal keeps it a streaming
-                # HashAggregate. Exact full-string min/max lives in
-                # stats.profile (its own agg, DuckDB-oracle-checked).
-                return F.conv(
-                    F.rpad(F.substring(F.hex(col), 1, 14), 14, "0"), 16, 10
-                ).cast("decimal(17,0)")
-
             cols = stats_columns or [
                 f.name for f in df.schema.fields
                 if f.name not in (self.partition_col, "bytes")
             ]
             for c in cols:
                 if isinstance(df.schema[c].dataType, T.StringType):
+                    # min/max over a STRING buffer would force the WHOLE
+                    # one-pass aggregation into SortAggregate (a full sort
+                    # of the decode output — ruinous at 10^12 rows); the
+                    # order-preserving prefix ordinal keeps it a streaming
+                    # HashAggregate. Exact full-string min/max lives in
+                    # stats.profile (its own agg, DuckDB-oracle-checked).
                     str_ord_cols.append(c)
-                    lo, hi = _prefix_ord(F.col(c)), _prefix_ord(F.col(c))
+                    ordinal = stats_ops._string_prefix_ordinal(F.col(c))
                     stat_aggs += [
                         F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-                        F.min(lo).alias(f"{c}__min"),
-                        F.max(hi).alias(f"{c}__max"),
+                        F.min(ordinal).alias(f"{c}__min"),
+                        F.max(ordinal).alias(f"{c}__max"),
                         F.approx_count_distinct(c).alias(f"{c}__distinct"),
                     ]
                 else:
@@ -537,14 +526,7 @@ class ValidationEngine:
             # (trailing zero-pad bytes stripped) after the aggregation
             base = a.rsplit("__", 1)
             if len(base) == 2 and base[1] in ("min", "max") and base[0] in str_ord_cols:
-                return F.regexp_replace(
-                    F.decode(
-                        F.unhex(F.lpad(F.hex(F.col(a).cast("bigint")), 14, "0")),
-                        "UTF-8",
-                    ),
-                    "\u0000+$",
-                    "",
-                ).alias(a)
+                return stats_ops._string_prefix_decode(F.col(a)).alias(a)
             return F.col(a)
 
         return wide.select(

@@ -17,11 +17,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _string_prefix_ordinal(col):
+    """Order-preserving 7-byte UTF-8 prefix of a string as decimal(17,0):
+    hex() gives the byte string (hex-digit order == byte order),
+    right-zero-padded to fixed width so shorter strings sort first,
+    conv() to a number whose aggregation buffer is a compact long."""
+    return F.conv(F.rpad(F.substring(F.hex(col), 1, 14), 14, "0"), 16, 10).cast(
+        "decimal(17,0)"
+    )
+
+
+def _string_prefix_decode(col):
+    """Inverse presentation of :func:`_string_prefix_ordinal` — the
+    readable prefix, zero-pad bytes stripped."""
+    return F.regexp_replace(
+        F.decode(F.unhex(F.lpad(F.hex(col.cast("bigint")), 14, "0")), "UTF-8"),
+        "\u0000+$",
+        "",
+    )
+
+
 def profile(
     df: DataFrame,
     columns: list[str] | None = None,
     exact_distinct: bool = False,
     scope_col: str | None = None,
+    string_minmax: str = "exact",
 ) -> DataFrame:
     """Long-format stats: (scope?, column, n_rows, n_nulls, null_rate,
     min_value, max_value, n_distinct).
@@ -31,7 +52,16 @@ def profile(
     shuffle per column) for the 10^12-row path. min/max are cast to string
     so heterogeneous columns stack into one long table (binary columns get
     length-based min/max instead of value min/max).
+
+    ``string_minmax``: ``"exact"`` (default — full-string min/max, the
+    DuckDB-oracle semantics; a variable-width agg buffer demotes the
+    aggregation to SortAggregate, fine at profile-a-sample scale) or
+    ``"prefix"`` (order-preserving 7-byte prefixes via a compact-long
+    buffer — keeps the agg a streaming HashAggregate; the 10^12-row
+    setting, and what ``validate_one_pass`` uses for its fused stats).
     """
+    if string_minmax not in ("exact", "prefix"):
+        raise ValueError(f"string_minmax must be 'exact' or 'prefix', got {string_minmax!r}")
     if columns is None:
         columns = [f.name for f in df.schema.fields]
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -40,11 +70,17 @@ def profile(
     for c in columns:
         col = F.col(c)
         target = F.length(col) if types[c] == "binary" else col
+        if types[c] == "string" and string_minmax == "prefix":
+            lo = _string_prefix_decode(F.min(_string_prefix_ordinal(col)))
+            hi = _string_prefix_decode(F.max(_string_prefix_ordinal(col)))
+        else:
+            lo = F.min(target).cast("string")
+            hi = F.max(target).cast("string")
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
-            F.min(target).cast("string").alias(f"{c}__min"),
-            F.max(target).cast("string").alias(f"{c}__max"),
+            lo.alias(f"{c}__min"),
+            hi.alias(f"{c}__max"),
             (
                 F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col)
             ).alias(f"{c}__distinct"),
