@@ -551,14 +551,13 @@ def q_dedup_keep_docs(spark, sf_dir):
 
 
 def q_exact_dedup_docs(spark, sf_dir):
-    """Exact dedup groups by normalized-content hash."""
+    """Exact dedup groups by normalized-content hash. Uses the DEFAULT
+    bounded plan (max_ids=100, windowed top-k — the 10^12-row-safe shape);
+    min/max come from the exact fixed-buffer window aggregates, not the
+    capped list, so the certified plan is the scale-safe one."""
     df = _t(spark, sf_dir, "documents").withColumn("snippet", F.substring("text", 1, 30))
     groups = dedup_ops.exact_duplicates(df, "snippet", "doc_id")
-    return groups.select(
-        "content_hash", "n_docs",
-        F.array_min("doc_ids").alias("min_doc_id"),
-        F.array_max("doc_ids").alias("max_doc_id"),
-    )
+    return groups.select("content_hash", "n_docs", "min_doc_id", "max_doc_id")
 
 
 def q_token_counts_docs(spark, sf_dir):

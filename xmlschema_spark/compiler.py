@@ -51,7 +51,9 @@ def whitespace_normalize(col: Column, mode: str) -> Column:
     if mode == "replace":
         return F.translate(col, "\t\n\r", "   ")
     if mode == "collapse":
-        return F.trim(F.regexp_replace(col, r"\s+", " "))
+        # exactly the XML whitespace set tab/LF/CR/space (facets.py:96-129)
+        # — NOT \s, which would also fold \f and \v the spec preserves
+        return F.trim(F.regexp_replace(col, "[\\t\\n\\r ]+", " "))
     raise RuleCompileError(f"bad whiteSpace mode {mode!r}")
 
 
@@ -158,7 +160,7 @@ def compile_row_rule(rule: Rule) -> Column:
         # XsdList analog (simple_types.py:726-732): whitespace-separated
         # items, each valid against the item type/pattern; forall keeps it
         # one codegen expression.
-        delimiter = rule.param("delimiter", r"\s+")
+        delimiter = rule.param("delimiter", "[\\t\\n\\r ]+")
         items = F.filter(
             F.split(c, delimiter), lambda x: F.length(x) > 0
         )
@@ -229,7 +231,7 @@ def compile_row_rule(rule: Rule) -> Column:
         # b64decodes strictly; the equivalent lexical check is canonical
         # alphabet, 4-char groups, and valid '='-padding — one codegen
         # regex instead of a decode attempt.
-        v = F.regexp_replace(c, r"\s+", "")
+        v = F.regexp_replace(c, "[\\t\\n\\r ]+", "")
         ok = _passes_when_null(
             c,
             v.rlike(

@@ -37,19 +37,23 @@ def normalize_text(col):
 
 
 def exact_duplicates(
-    df: DataFrame, text_col: str, id_col: str, max_ids: int | None = None
+    df: DataFrame, text_col: str, id_col: str, max_ids: int | None = 100
 ) -> DataFrame:
     """Groups of byte-identical (normalized) docs → (content_hash, n_docs,
-    doc_ids). One shuffle; map-side partial agg handles skew.
+    doc_ids, min_doc_id, max_doc_id). One shuffle; map-side partial agg
+    handles skew.
 
     ``max_ids`` bounds the per-group id list to the ``max_ids`` smallest
     ids via a windowed top-k: the window sort is sort-based and
     spill-safe, the filter drops rows beyond k BEFORE collect_list, and
     the follow-up groupBy reuses the window's hash partitioning (no
     second exchange). At 10^12 rows a boilerplate document can have 10^8
-    copies — an unbounded ``collect_list`` buffer would OOM the agg;
-    ``n_docs`` stays exact either way. Default None keeps the full
-    (sorted) list for small-scale/oracle use."""
+    copies — an unbounded ``collect_list`` buffer would OOM the agg — so
+    the DEFAULT is bounded (100); pass ``max_ids=None`` explicitly for
+    the full sorted list at small scale. ``n_docs`` and
+    ``min_doc_id``/``max_doc_id`` stay exact on either path (fixed-size
+    agg buffers), so downstream consumers that only need the group
+    extremes never depend on the truncated list."""
     from pyspark.sql import Window
 
     h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
@@ -60,18 +64,26 @@ def exact_duplicates(
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+                F.min(id_col).alias("min_doc_id"),
+                F.max(id_col).alias("max_doc_id"),
             )
             .filter(F.col("n_docs") > 1)
         )
+    # exact extremes computed in the same window pass, BEFORE the top-k
+    # filter drops rows — the capped doc_ids list never loses min/max info
     w = Window.partitionBy("content_hash")
     ranked = (
         grouped.withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("__min", F.min(id_col).over(w))
+        .withColumn("__max", F.max(id_col).over(w))
         .withColumn("__rn", F.row_number().over(w.orderBy(id_col)))
         .filter((F.col("__n") > 1) & (F.col("__rn") <= max_ids))
     )
     return ranked.groupBy("content_hash").agg(
         F.first("__n").alias("n_docs"),
         F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        F.first("__min").alias("min_doc_id"),
+        F.first("__max").alias("max_doc_id"),
     )
 
 
@@ -300,12 +312,27 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_duplicates(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, chunk_bits: int = 16
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    chunk_bits: int = 16,
+    max_block_size: int = 200,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming ≤ k, found scalably via the
     pigeonhole trick: split 64 bits into (max_hamming+1) chunks — any pair
     within hamming k agrees exactly on ≥1 chunk → block on chunk value,
-    verify hamming inside blocks. One explode + one equi-join; no O(n²)."""
+    verify hamming inside blocks. One explode + one equi-join; no O(n²).
+
+    ``max_block_size`` caps pigeonhole blocks the same way
+    :func:`minhash_lsh_candidates` caps LSH buckets: on a boilerplate-heavy
+    corpus millions of near-empty docs share signature 0, so one popular
+    (chunk_idx, chunk_val) block would make the within-block pairing
+    quadratic (10^6 members → 10^12 candidate pairs before the hamming
+    filter). Blocks above the cap are dropped via an anti-join on the
+    block-size aggregate — dropped coverage, like hot-key salting caps,
+    is the deliberate trade; a pair sharing ONLY an over-cap chunk is
+    missed. Pass ``None`` to disable (exhaustive small-scale/test use)."""
     n_chunks = 64 // chunk_bits
     if max_hamming >= n_chunks:
         raise ValueError("need chunks > max_hamming for pigeonhole completeness")
@@ -323,6 +350,18 @@ def simhash_near_duplicates(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
+    if max_block_size is not None:
+        # hot blocks are few by construction (each eats ≥ cap docs), so
+        # the anti-join side is tiny; AQE broadcasts it. The block-size
+        # groupBy shuffles on the same (chunk_idx, chunk_val) keys the
+        # self-join below needs, so the partitioning is reused.
+        hot = (
+            chunks.groupBy("chunk_idx", "chunk_val")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_block_size)
+            .select("chunk_idx", "chunk_val")
+        )
+        chunks = chunks.join(hot, ["chunk_idx", "chunk_val"], "left_anti")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

@@ -82,7 +82,16 @@ def decode_check(
             # (pure DRAM traffic, the one resource more cores don't add)
             validity, off_buf = barr.buffers()[0], barr.buffers()[1]
             data_mv = memoryview(barr.buffers()[2]) if barr.buffers()[2] is not None else None
-            offs = np.frombuffer(off_buf, np.int32, count=barr.offset + n + 1)
+            # offsets buffer dtype follows the Arrow type: binary → int32,
+            # large_binary (spark.sql.execution.arrow.useLargeVarTypes) →
+            # int64 — assuming int32 would silently misread large_binary
+            if pa.types.is_binary(barr.type):
+                off_dtype = np.int32
+            elif pa.types.is_large_binary(barr.type):
+                off_dtype = np.int64
+            else:
+                raise TypeError(f"bytes column has Arrow type {barr.type}, expected (large_)binary")
+            offs = np.frombuffer(off_buf, off_dtype, count=barr.offset + n + 1)
             if validity is None:
                 valid = np.ones(n, bool)
             else:

@@ -29,12 +29,22 @@ def _string_prefix_ordinal(col):
 
 def _string_prefix_decode(col):
     """Inverse presentation of :func:`_string_prefix_ordinal` — the
-    readable prefix, zero-pad bytes stripped."""
-    return F.regexp_replace(
-        F.decode(F.unhex(F.lpad(F.hex(col.cast("bigint")), 14, "0")), "UTF-8"),
-        "\u0000+$",
-        "",
-    )
+    readable prefix, zero-pad bytes stripped.
+
+    The 7-byte prefix may split a multi-byte UTF-8 character, and on
+    Spark 4.x ``decode(..., 'UTF-8')`` raises MALFORMED_CHARACTER_CODING
+    on malformed input. So instead: raw binary→string cast (no
+    validation), ``make_valid_utf8`` turns any dangling partial sequence
+    into U+FFFD, and the trailing U+FFFD(s)/NUL padding are stripped —
+    yielding a clean, complete-character prefix of the true min/max."""
+    raw = F.unhex(F.lpad(F.hex(col.cast("bigint")), 14, "0")).cast("string")
+    return F.regexp_replace(F.make_valid_utf8(raw), "[\u0000\uFFFD]+$", "")
+
+
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for selectExpr (escapes embedded
+    backticks), so column names with spaces/hyphens/keywords parse."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def profile(
@@ -90,11 +100,12 @@ def profile(
 
     # unpivot to long format via stack — still one underlying aggregation
     stack_items = ", ".join(
-        f"'{c}', {c}__n, {c}__nulls, {c}__min, {c}__max, {c}__distinct"
+        f"'{c}', {_bq(c + '__n')}, {_bq(c + '__nulls')}, {_bq(c + '__min')}, "
+        f"{_bq(c + '__max')}, {_bq(c + '__distinct')}"
         for c in columns
     )
     stacked = wide.selectExpr(
-        *group,
+        *[_bq(g) for g in group],
         f"stack({len(columns)}, {stack_items}) as "
         "(column, n_rows, n_nulls, min_value, max_value, n_distinct)",
     )
@@ -134,9 +145,9 @@ def quantiles(
 
     # 1-row (per scope) reshape: stack columns, then posexplode the prob
     # array — still the single underlying aggregation, no re-scan
-    stack_items = ", ".join(f"'{c}', {c}__q" for c in columns)
+    stack_items = ", ".join(f"'{c}', {_bq(c + '__q')}" for c in columns)
     stacked = wide.selectExpr(
-        *group, f"stack({len(columns)}, {stack_items}) as (column, qs)"
+        *[_bq(g) for g in group], f"stack({len(columns)}, {stack_items}) as (column, qs)"
     )
     return stacked.select(
         *group,
