@@ -387,6 +387,31 @@ def q_pattern_fallback_docs(spark, sf_dir):
     return eng.row_violations(df, run_id="r").select("rule_id", "row_id", "severity")
 
 
+def q_intl_names_events(spark, sf_dir):
+    """Full XML 1.0 name-character classes: Greek/Cyrillic/CJK/astral
+    names must pass ``qname`` and the ``\\i\\c*`` pattern (reference
+    regex.py:38-45 shortcut tables; round-2 verdict item #2 — the old
+    Latin-1 subset falsely rejected these). 'a:b:c' distinguishes the two
+    rules: two colons break QName but ':' is a legal \\i/\\c char."""
+    rs = RuleSet(
+        [
+            Rule("qname_intl", "qname", "name_str"),
+            Rule("name_pattern", "pattern", "name_str", {"patterns": [r"\i\c*"]}),
+        ]
+    )
+    df = _t(spark, sf_dir, "events").withColumn(
+        "name_str",
+        F.expr(
+            "CASE event_id % 9 WHEN 0 THEN 'Ωμέγα' WHEN 1 THEN 'доклад_1' "
+            "WHEN 2 THEN '漢字:テスト' WHEN 3 THEN '𐀀x' WHEN 4 THEN 'café.nom' "
+            "WHEN 5 THEN '9bad' WHEN 6 THEN 'has space' WHEN 7 THEN '-lead' "
+            "ELSE 'a:b:c' END"
+        ),
+    )
+    eng = ValidationEngine(rs, id_col="event_id", partition_col="event_type")
+    return eng.row_violations(df, run_id="r").select("rule_id", "row_id")
+
+
 def q_binary_lexical_events(spark, sf_dir):
     """hex / base64 lexical-space validators (hex_binary_validator
     builtins.py:139-141, base64_binary_validator builtins.py:144-155)."""
@@ -783,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounds_facets_lineitem": q_bounds_facets_lineitem,
         "timezone_events": q_timezone_events,
         "boolean_qname_events": q_boolean_qname_events,
+        "intl_names_events": q_intl_names_events,
         "pattern_fallback_docs": q_pattern_fallback_docs,
         "binary_lexical_events": q_binary_lexical_events,
         "idref_orphans_docs": q_idref_orphans_docs,
@@ -1126,6 +1152,32 @@ SELECT * FROM (
    WHERE NOT regexp_full_match(qname_str,
      '([A-Za-z_][-.0-9A-Za-z_]*:)?[A-Za-z_][-.0-9A-Za-z_]*')
 ) WHERE n > 0
+""",
+        "intl_names_events": r"""
+WITH d AS (
+  SELECT event_id,
+    CASE event_id % 9 WHEN 0 THEN 'Ωμέγα' WHEN 1 THEN 'доклад_1'
+         WHEN 2 THEN '漢字:テスト' WHEN 3 THEN '𐀀x' WHEN 4 THEN 'café.nom'
+         WHEN 5 THEN '9bad' WHEN 6 THEN 'has space' WHEN 7 THEN '-lead'
+         ELSE 'a:b:c' END AS name_str
+  FROM events
+),
+-- full XML 1.0 (5th ed.) NameStartChar / NameChar ranges, RE2 syntax;
+-- NCName = the ranges minus ':' (independent re-derivation of the same
+-- spec tables the Spark side compiles to Java regex)
+m AS (
+  SELECT event_id, name_str,
+    regexp_full_match(name_str,
+      '([A-Z_a-z\x{C0}-\x{D6}\x{D8}-\x{F6}\x{F8}-\x{2FF}\x{370}-\x{37D}\x{37F}-\x{1FFF}\x{200C}-\x{200D}\x{2070}-\x{218F}\x{2C00}-\x{2FEF}\x{3001}-\x{D7FF}\x{F900}-\x{FDCF}\x{FDF0}-\x{FFFD}\x{10000}-\x{EFFFF}][-.0-9A-Z_a-z\x{B7}\x{C0}-\x{D6}\x{D8}-\x{F6}\x{F8}-\x{37D}\x{37F}-\x{1FFF}\x{200C}-\x{200D}\x{203F}-\x{2040}\x{2070}-\x{218F}\x{2C00}-\x{2FEF}\x{3001}-\x{D7FF}\x{F900}-\x{FDCF}\x{FDF0}-\x{FFFD}\x{10000}-\x{EFFFF}]*:)?[A-Z_a-z\x{C0}-\x{D6}\x{D8}-\x{F6}\x{F8}-\x{2FF}\x{370}-\x{37D}\x{37F}-\x{1FFF}\x{200C}-\x{200D}\x{2070}-\x{218F}\x{2C00}-\x{2FEF}\x{3001}-\x{D7FF}\x{F900}-\x{FDCF}\x{FDF0}-\x{FFFD}\x{10000}-\x{EFFFF}][-.0-9A-Z_a-z\x{B7}\x{C0}-\x{D6}\x{D8}-\x{F6}\x{F8}-\x{37D}\x{37F}-\x{1FFF}\x{200C}-\x{200D}\x{203F}-\x{2040}\x{2070}-\x{218F}\x{2C00}-\x{2FEF}\x{3001}-\x{D7FF}\x{F900}-\x{FDCF}\x{FDF0}-\x{FFFD}\x{10000}-\x{EFFFF}]*'
+    ) AS qname_ok,
+    regexp_full_match(name_str,
+      '[:A-Z_a-z\x{C0}-\x{D6}\x{D8}-\x{F6}\x{F8}-\x{2FF}\x{370}-\x{37D}\x{37F}-\x{1FFF}\x{200C}-\x{200D}\x{2070}-\x{218F}\x{2C00}-\x{2FEF}\x{3001}-\x{D7FF}\x{F900}-\x{FDCF}\x{FDF0}-\x{FFFD}\x{10000}-\x{EFFFF}][-.0-9:A-Z_a-z\x{B7}\x{C0}-\x{D6}\x{D8}-\x{F6}\x{F8}-\x{37D}\x{37F}-\x{1FFF}\x{200C}-\x{200D}\x{203F}-\x{2040}\x{2070}-\x{218F}\x{2C00}-\x{2FEF}\x{3001}-\x{D7FF}\x{F900}-\x{FDCF}\x{FDF0}-\x{FFFD}\x{10000}-\x{EFFFF}]*'
+    ) AS pattern_ok
+  FROM d
+)
+SELECT 'qname_intl' AS rule_id, CAST(event_id AS VARCHAR) AS row_id FROM m WHERE NOT qname_ok
+UNION ALL
+SELECT 'name_pattern', CAST(event_id AS VARCHAR) FROM m WHERE NOT pattern_ok
 """,
         "pattern_fallback_docs": """
 WITH d AS (

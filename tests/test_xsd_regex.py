@@ -100,6 +100,48 @@ def test_spark_unicode_block_semantics(spark):
     assert got == ["abc"]  # é is Latin-1 Supplement, outside BasicLatin
 
 
+def test_spark_full_xml_name_ranges(spark):
+    """\\i/\\c carry the FULL XML 1.0 NameStartChar/NameChar ranges
+    (reference regex.py:38-45): Greek, Cyrillic, CJK, and astral-plane
+    names are legal; digit/space/hyphen starts are not."""
+    from pyspark.sql import functions as F
+
+    names = [
+        ("Ωμέγα", True), ("доклад_1", True), ("漢字テスト", True),
+        ("\U00010000x", True), ("a:b:c", True),  # ':' is a name char
+        ("9bad", False), ("has space", False), ("-lead", False),
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in names], "v string")
+    jre = xsd_to_java_regex(r"\i\c*")
+    got = {r.v: r.m for r in df.select("v", F.col("v").rlike(jre).alias("m")).collect()}
+    assert [got[v] for v, _ in names] == [e for _, e in names]
+    # Python fallback lane agrees on every case
+    import re
+
+    from xmlschema_spark.functions.xsd_regex import xsd_to_python_regex
+
+    pre = xsd_to_python_regex(r"\i\c*")
+    assert [bool(re.fullmatch(pre, v)) for v, _ in names] == [e for _, e in names]
+
+
+def test_qname_rule_full_ranges(spark):
+    """The compiled qname kind accepts non-Latin NCNames and rejects
+    multi-colon / digit-start forms."""
+    from pyspark.sql import functions as F
+
+    from xmlschema_spark.compiler import compile_row_rule
+    from xmlschema_spark.rules import Rule
+
+    cases = [
+        ("Ωμέγα", True), ("ns:項目", True), ("доклад", True),
+        ("a:b:c", False), ("9bad", False), (":lead", False),
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in cases], "v string")
+    ok = compile_row_rule(Rule("q", "qname", "v", {}))
+    got = {r.v: r.ok for r in df.select("v", ok.alias("ok")).collect()}
+    assert [got[v] for v, _ in cases] == [e for _, e in cases]
+
+
 def test_python_fallback_translation():
     """Python-re lane: constructs the Java lane rejects (in-class \\I/\\C)
     plus the shared dialect, via lookahead composition."""

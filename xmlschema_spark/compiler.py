@@ -23,6 +23,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from xmlschema_spark.functions.xsd_regex import (
+    NCNAME_CHAR_INNER,
+    NCNAME_START_INNER,
     XsdRegexError,
     xsd_patterns_to_java,
     xsd_patterns_to_python,
@@ -241,10 +243,10 @@ def compile_row_rule(rule: Rule) -> Column:
     elif k == "qname":
         # xs:QName lexical check (qname_validator, builtins.py:74-76):
         # NCName(':'NCName)? — NCName = name chars minus ':', using the
-        # same documented Latin-1 subset as \i/\c (xsd_regex.py).
-        nc_start = "[A-Z_a-z\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u02FF]"
-        nc_rest = "[-.0-9A-Z_a-z\\u00B7\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u037D]*"
-        ncname = nc_start + nc_rest
+        # full XML 1.0 NameStartChar/NameChar ranges shared with \i/\c
+        # (xsd_regex.py — same BMP ranges as the reference regex.py:38-45,
+        # so Greek/Cyrillic/CJK names are accepted).
+        ncname = f"[{NCNAME_START_INNER}][{NCNAME_CHAR_INNER}]*"
         ok = _passes_when_null(c, c.rlike(f"^(?:{ncname}:)?{ncname}$"))
     elif k in CUSTOM_ROW_KINDS:
         compile_fn, _ = CUSTOM_ROW_KINDS[k]

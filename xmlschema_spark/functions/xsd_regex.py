@@ -8,10 +8,10 @@ applying the same dialect rules:
 - **Implicit anchoring** — an XSD pattern must match the whole value
   (reference anchors with ``^(...)$``, regex.py:352-355). We wrap in
   ``^(?:...)$``.
-- ``\\i`` / ``\\I`` — XML name-start chars (and complement). Translated to
-  an explicit class (ASCII + the common Latin-1 letter range; full XML 1.0
-  ranges are overkill for tabular data — documented subset).
-- ``\\c`` / ``\\C`` — XML name chars (and complement).
+- ``\\i`` / ``\\I`` — XML name-start chars (and complement), the FULL
+  XML 1.0 (5th ed.) NameStartChar ranges — same BMP set as the reference's
+  shortcut tables (regex.py:38-45) plus the spec's supplementary range.
+- ``\\c`` / ``\\C`` — XML name chars (and complement), full NameChar set.
 - **Character-class subtraction** ``[a-z-[aeiou]]`` → Java intersection
   with negation ``[a-z&&[^aeiou]]`` (reference expands it manually,
   regex.py:202-246; Java supports it natively).
@@ -25,10 +25,35 @@ from __future__ import annotations
 
 import re
 
-I_CLASS = "[:A-Z_a-z\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u02FF]"
-C_CLASS = "[-.0-9:A-Z_a-z\\u00B7\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u037D]"
-_I_INNER = I_CLASS[1:-1]
-_C_INNER = C_CLASS[1:-1]
+# Full XML 1.0 (5th ed.) NameStartChar / NameChar productions — the same
+# BMP ranges the reference's \i/\c shortcut sets carry (regex.py:38-45).
+# BMP ranges are written as \uXXXX escape TEXT (valid in both Java regex
+# and Python re); the supplementary range [#x10000-#xEFFFF] must be a
+# literal-codepoint range because the two dialects disagree on astral
+# escapes (Java \x{...} vs Python \U...) — the reference stops at the BMP;
+# we include the spec's astral range too.
+_ASTRAL_NAME = "\U00010000-\U000EFFFF"
+# NCName start chars: NameStartChar minus ':' (xs:NCName, QName parts)
+NCNAME_START_INNER = (
+    "A-Z_a-z"
+    "\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u02FF\\u0370-\\u037D\\u037F-\\u1FFF"
+    "\\u200C-\\u200D\\u2070-\\u218F\\u2C00-\\u2FEF\\u3001-\\uD7FF"
+    "\\uF900-\\uFDCF\\uFDF0-\\uFFFD" + _ASTRAL_NAME
+)
+# NCName chars: NameChar minus ':' — adds -.0-9 U+00B7 and the combining /
+# extender ranges (U+0300-036F merges into U+00F8-037D)
+NCNAME_CHAR_INNER = (
+    # '-' escaped so the inner stays position-independent (callers prepend
+    # ':' or other atoms; a bare '-' after ':' would parse as a range)
+    "\\-.0-9A-Z_a-z\\u00B7"
+    "\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u037D\\u037F-\\u1FFF"
+    "\\u200C-\\u200D\\u203F-\\u2040\\u2070-\\u218F\\u2C00-\\u2FEF\\u3001-\\uD7FF"
+    "\\uF900-\\uFDCF\\uFDF0-\\uFFFD" + _ASTRAL_NAME
+)
+_I_INNER = ":" + NCNAME_START_INNER
+_C_INNER = ":" + NCNAME_CHAR_INNER
+I_CLASS = f"[{_I_INNER}]"
+C_CLASS = f"[{_C_INNER}]"
 
 
 class XsdRegexError(ValueError):
