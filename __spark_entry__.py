@@ -241,6 +241,41 @@ def q_occurs_words_docs(spark, sf_dir):
     return eng.row_violations(df, run_id="r").select("rule_id", "row_id", "severity")
 
 
+def q_nested_rules_docs(spark, sf_dir):
+    """Facets on NESTED data (SURVEY §1.2; the reference maps complex
+    types to StructType / ArrayType(StructType), converters.py:264-288):
+    a struct-field path rule (``meta.n_chars``), an ``each=True`` rule
+    over array<string> (max_length on every word), and an ``each`` +
+    ``field`` rule over array<struct> (min on every chunk.len). All three
+    compile to forall / dotted field extraction — one codegen projection,
+    no explode."""
+    rs = RuleSet(
+        [
+            Rule("meta_chars_min", "min", "meta.n_chars", {"value": 150}),
+            Rule("word_maxlen", "max_length", "words", {"value": 7, "each": True}),
+            Rule("chunk_len_min", "min", "chunks", {"value": 4, "each": True, "field": "len"}),
+        ]
+    )
+    df = (
+        _t(spark, sf_dir, "documents")
+        .withColumn(
+            "meta",
+            F.struct(F.col("lang").alias("lang"), F.col("n_chars").alias("n_chars")),
+        )
+        .withColumn("words", F.split(F.col("text"), " "))
+        .withColumn(
+            "chunks",
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.struct(w.alias("w"), F.length(w).alias("len")),
+            ),
+        )
+    )
+    eng = ValidationEngine(rs, id_col="doc_id", partition_col="lang")
+    v = eng.row_violations(df, run_id="r")
+    return v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 0)
+
+
 def q_digits_lineitem(spark, sf_dir):
     """totalDigits / fractionDigits facets on decimal columns.
 
@@ -804,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rule_counts": q_doc_rule_counts,
         "gated_rule_docs": q_gated_rule_docs,
         "occurs_words_docs": q_occurs_words_docs,
+        "nested_rules_docs": q_nested_rules_docs,
         "digits_lineitem": q_digits_lineitem,
         "bounds_facets_lineitem": q_bounds_facets_lineitem,
         "timezone_events": q_timezone_events,
@@ -1072,6 +1108,22 @@ SELECT 'word_occurs' AS rule_id, CAST(doc_id AS VARCHAR) AS row_id, 'error' AS s
 FROM documents
 WHERE text IS NOT NULL
   AND NOT (len(string_split(text, ' ')) BETWEEN 40 AND 80)
+""",
+        "nested_rules_docs": """
+SELECT * FROM (
+  SELECT 'meta_chars_min' AS rule_id, count(*)::BIGINT AS n
+  FROM documents WHERE n_chars IS NOT NULL AND NOT (n_chars >= 150)
+  UNION ALL
+  SELECT 'word_maxlen', count(*)::BIGINT
+  FROM documents WHERE text IS NOT NULL AND NOT coalesce(
+    list_aggregate(list_transform(string_split(text, ' '), w -> len(w) <= 7),
+                   'bool_and'), TRUE)
+  UNION ALL
+  SELECT 'chunk_len_min', count(*)::BIGINT
+  FROM documents WHERE text IS NOT NULL AND NOT coalesce(
+    list_aggregate(list_transform(string_split(text, ' '), w -> len(w) >= 4),
+                   'bool_and'), TRUE)
+) WHERE n > 0
 """,
         "digits_lineitem": """
 -- totalDigits derived INDEPENDENTLY from the reference formula

@@ -65,8 +65,59 @@ def _passes_when_null(col: Column, ok: Column) -> Column:
 
 
 def compile_row_rule(rule: Rule) -> Column:
-    """Return a boolean Column: True ⇔ the row SATISFIES the rule."""
-    c = F.col(rule.column) if rule.column else None
+    """Return a boolean Column: True ⇔ the row SATISFIES the rule.
+
+    Nested data (SURVEY §1.2 — the reference maps complex types to
+    ``StructType`` / ``ArrayType(StructType)``, converters.py:264-288):
+
+    - struct fields: ``column="a.b"`` resolves naturally via Catalyst's
+      dotted-path field extraction; every kind works unchanged.
+    - array elements: ``params.each=True`` applies the kind to EVERY
+      element of the array column via ``forall`` (one codegen expression,
+      no explode → no row blowup); optional ``params.field="f"`` (dotted
+      ok) drills into struct elements. NULL array passes (value-space
+      facet semantics); a NULL *element* passes every kind except
+      ``not_null`` — the nillable-item analog.
+    """
+    each = bool(rule.param("each")) if rule.params else False
+    if each:
+        if not rule.column:
+            raise RuleCompileError(f"{rule.rule_id}: each=True needs a column")
+        if rule.kind == "assertion_sql" or rule.kind in CUSTOM_ROW_KINDS:
+            raise RuleCompileError(
+                f"{rule.rule_id}: {rule.kind} does not support each=True "
+                "(row-scoped expression, not an element facet)"
+            )
+        arr = F.col(rule.column)
+        field = rule.param("field")
+
+        def elem_value(x):
+            if not field:
+                return x
+            v = x
+            for part in str(field).split("."):
+                v = v[part]
+            return v
+
+        # pandas-UDF lanes can't run inside a higher-order function —
+        # _scalar_ok(allow_udf=False) raises at compile time instead of
+        # failing at plan time
+        ok = _passes_when_null(
+            arr, F.forall(arr, lambda x: _scalar_ok(rule, elem_value(x), allow_udf=False))
+        )
+    else:
+        ok = _scalar_ok(rule, F.col(rule.column) if rule.column else None)
+
+    if rule.gate:
+        # CTA analog: rows outside the gate trivially satisfy the rule.
+        ok = ~F.coalesce(F.expr(rule.gate).cast("boolean"), F.lit(False)) | ok
+    return ok
+
+
+def _scalar_ok(rule: Rule, c: Column, allow_udf: bool = True) -> Column:
+    """The per-value predicate for one rule kind over value column ``c``
+    (a top-level column, a struct field path, or a ``forall`` lambda
+    variable when called from the ``each`` lane)."""
     k = rule.kind
 
     if k == "not_null":
@@ -120,6 +171,12 @@ def compile_row_rule(rule: Rule) -> Column:
             java_re = xsd_patterns_to_java(list(patterns))
             ok = _passes_when_null(c, c.rlike(java_re))
         except XsdRegexError:
+            if not allow_udf:
+                raise RuleCompileError(
+                    f"{rule.rule_id}: pattern needs the Python-re fallback, "
+                    "which cannot run inside each=True (no UDFs in "
+                    "higher-order functions)"
+                )
             # automatic fallback for constructs Java regex can't express
             # (the reference translates the FULL dialect to Python regex,
             # regex.py:249-357; we cover the Java-expressible subset in
@@ -253,10 +310,6 @@ def compile_row_rule(rule: Rule) -> Column:
         ok = compile_fn(rule)
     else:
         raise RuleCompileError(f"{rule.rule_id}: {k} is not a row-level kind")
-
-    if rule.gate:
-        # CTA analog: rows outside the gate trivially satisfy the rule.
-        ok = ~F.coalesce(F.expr(rule.gate).cast("boolean"), F.lit(False)) | ok
     return ok
 
 
@@ -294,6 +347,9 @@ def violation_reason(rule: Rule) -> str:
     if rule.kind in CUSTOM_ROW_KINDS:
         _, reason_fn = CUSTOM_ROW_KINDS[rule.kind]
         base = reason_fn(rule) if reason_fn else f"custom rule {rule.kind} failed"
+    if rule.params and rule.param("each"):
+        field = rule.param("field")
+        base += f" [each element{'.' + field if field else ''}]"
     if rule.gate:
         base += f" [where {rule.gate}]"
     return base

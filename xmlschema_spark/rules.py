@@ -198,8 +198,35 @@ class RuleSet:
     def validate_against_schema(self, schema) -> None:
         """Compile-time applicability check: rule kind × column dtype, the
         analog of the reference's admitted-facets check
-        (simple_types.py:144-146). Raises RuleCompileError."""
+        (simple_types.py:144-146). Raises RuleCompileError.
+
+        Nested paths resolve like Catalyst does: dots walk struct fields
+        (``meta.price``); for ``each=True`` rules the array element type
+        (plus optional ``params.field``) is what the facet applies to."""
         fields = {f.name: f.dataType.simpleString() for f in schema.fields}
+
+        def resolve(path: str, each: bool, each_field: str | None):
+            """(dtype simpleString, found): dots walk struct fields;
+            each=True additionally requires an ArrayType and descends to
+            the element (plus optional field drill-in). found=False when a
+            segment is missing or each hits a non-array."""
+            from pyspark.sql.types import ArrayType, StructType
+
+            dt = schema
+            for p in path.split("."):
+                if not isinstance(dt, StructType) or p not in dt.fieldNames():
+                    return None, False
+                dt = dt[p].dataType
+            if each:
+                if not isinstance(dt, ArrayType):
+                    return None, False
+                dt = dt.elementType
+                for p in str(each_field).split(".") if each_field else []:
+                    if not isinstance(dt, StructType) or p not in dt.fieldNames():
+                        return None, False
+                    dt = dt[p].dataType
+            return dt.simpleString(), True
+
         for r in self.rules:
             if r.kind in _ANY_TYPE_KINDS or r.kind in DATASET_KINDS or r.kind in CUSTOM_ROW_KINDS:
                 cols = [r.column] if r.column else []
@@ -214,13 +241,26 @@ class RuleSet:
                 cols = [r.column]
                 if not r.column:
                     raise RuleCompileError(f"{r.rule_id}: {r.kind} needs a column")
+            each = bool(r.param("each")) if r.params else False
             for c in cols:
-                if c and c not in fields:
+                if not c:
+                    continue
+                if r.kind in ROW_KINDS and ("." in c or each):
+                    leaf, found = resolve(c, each, r.param("field"))
+                    if not found:
+                        raise RuleCompileError(
+                            f"{r.rule_id}: column {c!r} not in schema "
+                            f"{sorted(fields)} (nested paths walk struct "
+                            "fields; each=True needs an array column)"
+                        )
+                elif c in fields:
+                    leaf = fields[c]
+                else:
                     raise RuleCompileError(
                         f"{r.rule_id}: column {c!r} not in schema {sorted(fields)}"
                     )
             if r.kind in ROW_KINDS and r.kind not in _ANY_TYPE_KINDS and r.column:
-                cls = _dtype_class(fields[r.column])
+                cls = _dtype_class(leaf)
                 if r.kind not in _APPLICABLE[cls]:
                     raise RuleCompileError(
                         f"{r.rule_id}: facet {r.kind!r} not applicable to "
