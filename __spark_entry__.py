@@ -241,6 +241,47 @@ def q_occurs_words_docs(spark, sf_dir):
     return eng.row_violations(df, run_id="r").select("rule_id", "row_id", "severity")
 
 
+def q_duration_events(spark, sf_dir):
+    """xs:duration family (builtins.py:243-248,507-518): lexical checks for
+    the full/dayTime variants plus value-space range facets on the decoded
+    DayTimeIntervalType column (functions/durations.py — regexp_extract +
+    make_dt_interval, pure Catalyst). The oracle independently re-derives
+    total seconds from the lexical form with DuckDB regexp arithmetic."""
+    import datetime
+
+    from xmlschema_spark.functions.durations import parse_daytime_duration
+
+    df = (
+        _t(spark, sf_dir, "events")
+        .withColumn(
+            "dur",
+            F.expr(
+                "CASE event_id % 8 "
+                "WHEN 0 THEN concat('PT', cast(event_id % 90 + 1 as string), 'M') "
+                "WHEN 1 THEN concat('P', cast(event_id % 3 + 1 as string), 'DT2H') "
+                "WHEN 2 THEN 'P' "
+                "WHEN 3 THEN 'P1Y2M' "
+                "WHEN 4 THEN '-PT30.5S' "
+                "WHEN 5 THEN 'PT' "
+                "WHEN 6 THEN concat('PT', cast(event_id % 5000 as string), 'S') "
+                "ELSE NULL END"
+            ),
+        )
+        .withColumn("dur_iv", parse_daytime_duration(F.col("dur")))
+    )
+    rs = RuleSet(
+        [
+            Rule("dur_lexical", "duration", "dur"),
+            Rule("dur_daytime", "duration", "dur", {"variant": "dayTime"}),
+            Rule("iv_min", "min", "dur_iv", {"value": datetime.timedelta(minutes=10)}),
+            Rule("iv_max", "max", "dur_iv", {"value": datetime.timedelta(days=1)}),
+        ]
+    )
+    eng = ValidationEngine(rs, id_col="event_id", partition_col="event_type")
+    v = eng.row_violations(df, run_id="r")
+    return v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 0)
+
+
 def q_nested_rules_docs(spark, sf_dir):
     """Facets on NESTED data (SURVEY §1.2; the reference maps complex
     types to StructType / ArrayType(StructType), converters.py:264-288):
@@ -840,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gated_rule_docs": q_gated_rule_docs,
         "occurs_words_docs": q_occurs_words_docs,
         "nested_rules_docs": q_nested_rules_docs,
+        "duration_events": q_duration_events,
         "digits_lineitem": q_digits_lineitem,
         "bounds_facets_lineitem": q_bounds_facets_lineitem,
         "timezone_events": q_timezone_events,
@@ -1108,6 +1150,53 @@ SELECT 'word_occurs' AS rule_id, CAST(doc_id AS VARCHAR) AS row_id, 'error' AS s
 FROM documents
 WHERE text IS NOT NULL
   AND NOT (len(string_split(text, ' ')) BETWEEN 40 AND 80)
+""",
+        "duration_events": """
+WITH e AS (
+  SELECT event_id,
+    CASE event_id % 8
+      WHEN 0 THEN 'PT' || (event_id % 90 + 1) || 'M'
+      WHEN 1 THEN 'P' || (event_id % 3 + 1) || 'DT2H'
+      WHEN 2 THEN 'P'
+      WHEN 3 THEN 'P1Y2M'
+      WHEN 4 THEN '-PT30.5S'
+      WHEN 5 THEN 'PT'
+      WHEN 6 THEN 'PT' || (event_id % 5000) || 'S'
+      ELSE NULL END AS dur
+  FROM events
+), p AS (
+  SELECT dur,
+    regexp_full_match(dur,
+      '-?P(?:(?:[0-9]+Y(?:[0-9]+M)?(?:[0-9]+D)?|[0-9]+M(?:[0-9]+D)?|[0-9]+D)(?:T(?:[0-9]+H(?:[0-9]+M)?(?:[0-9]+(?:\\.[0-9]+)?S)?|[0-9]+M(?:[0-9]+(?:\\.[0-9]+)?S)?|[0-9]+(?:\\.[0-9]+)?S))?|T(?:[0-9]+H(?:[0-9]+M)?(?:[0-9]+(?:\\.[0-9]+)?S)?|[0-9]+M(?:[0-9]+(?:\\.[0-9]+)?S)?|[0-9]+(?:\\.[0-9]+)?S))'
+    ) AS ok_any,
+    regexp_full_match(dur,
+      '-?P(?:[0-9]+D(?:T(?:[0-9]+H(?:[0-9]+M)?(?:[0-9]+(?:\\.[0-9]+)?S)?|[0-9]+M(?:[0-9]+(?:\\.[0-9]+)?S)?|[0-9]+(?:\\.[0-9]+)?S))?|T(?:[0-9]+H(?:[0-9]+M)?(?:[0-9]+(?:\\.[0-9]+)?S)?|[0-9]+M(?:[0-9]+(?:\\.[0-9]+)?S)?|[0-9]+(?:\\.[0-9]+)?S))'
+    ) AS ok_daytime
+  FROM e
+), v AS (
+  SELECT dur, ok_any, ok_daytime,
+    CASE WHEN ok_daytime THEN
+      (CASE WHEN dur LIKE '-%' THEN -1 ELSE 1 END) * (
+        coalesce(TRY_CAST(regexp_extract(dur, '([0-9]+)D', 1) AS BIGINT), 0) * 86400
+      + coalesce(TRY_CAST(regexp_extract(dur, '([0-9]+)H', 1) AS BIGINT), 0) * 3600
+      + coalesce(TRY_CAST(regexp_extract(dur, 'T(?:[0-9]+H)?([0-9]+)M', 1) AS BIGINT), 0) * 60
+      + coalesce(TRY_CAST(regexp_extract(dur, '([0-9]+(?:\\.[0-9]+)?)S', 1) AS DOUBLE), 0))
+    END AS secs
+  FROM p
+)
+SELECT * FROM (
+  SELECT 'dur_lexical' AS rule_id, count(*)::BIGINT AS n FROM v
+   WHERE dur IS NOT NULL AND NOT ok_any
+  UNION ALL
+  SELECT 'dur_daytime', count(*)::BIGINT FROM v
+   WHERE dur IS NOT NULL AND NOT ok_daytime
+  UNION ALL
+  SELECT 'iv_min', count(*)::BIGINT FROM v
+   WHERE secs IS NOT NULL AND NOT (secs >= 600)
+  UNION ALL
+  SELECT 'iv_max', count(*)::BIGINT FROM v
+   WHERE secs IS NOT NULL AND NOT (secs <= 86400)
+) WHERE n > 0
 """,
         "nested_rules_docs": """
 SELECT * FROM (

@@ -297,6 +297,20 @@ def _scalar_ok(rule: Rule, c: Column, allow_udf: bool = True) -> Column:
                 "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
             ),
         )
+    elif k == "duration":
+        # xs:duration / dayTimeDuration / yearMonthDuration lexical space
+        # (builtins.py:243-248,507-518); value-space comparison happens on
+        # the decoded interval column (functions/durations.py) with the
+        # ordinary range facets.
+        from xmlschema_spark.functions.durations import DURATION_VARIANTS
+
+        variant = rule.param("variant", "any")
+        if variant not in DURATION_VARIANTS:
+            raise RuleCompileError(
+                f"{rule.rule_id}: duration variant must be one of "
+                f"{sorted(DURATION_VARIANTS)}"
+            )
+        ok = _passes_when_null(c, c.rlike(f"^{DURATION_VARIANTS[variant]}$"))
     elif k == "qname":
         # xs:QName lexical check (qname_validator, builtins.py:74-76):
         # NCName(':'NCName)? — NCName = name chars minus ':', using the
@@ -341,6 +355,7 @@ def violation_reason(rule: Rule) -> str:
         "explicit_timezone": f"timezone {p.get('value', 'optional')} for {rule.column!r}",
         "xsd_boolean": f"value of {rule.column!r} not in boolean lexical space {{true,1,false,0}}",
         "qname": f"value of {rule.column!r} is not an xs:QName",
+        "duration": f"value of {rule.column!r} is not an xs:duration ({p.get('variant', 'any')})",
         "hex_binary": f"value of {rule.column!r} is not even-length hex",
         "base64_binary": f"value of {rule.column!r} is not base64",
     }.get(rule.kind, rule.kind)

@@ -55,6 +55,7 @@ ROW_KINDS = frozenset(
         "qname",
         "hex_binary",
         "base64_binary",
+        "duration",
     }
 )
 # idref = same-table keyref sugar: IDREF values must pair with an xs:ID
@@ -90,7 +91,7 @@ _APPLICABLE: dict[str, frozenset[str]] = {
         _LENGTH_KINDS | _RANGE_KINDS
         | {"pattern", "enumeration", "whitespace", "type_union", "list_items",
            "explicit_timezone", "xsd_boolean", "qname",
-           "hex_binary", "base64_binary"}
+           "hex_binary", "base64_binary", "duration"}
     ),
     "binary": frozenset(_LENGTH_KINDS),
     "numeric": frozenset(_RANGE_KINDS | _DIGIT_KINDS | {"enumeration", "finite"}),
