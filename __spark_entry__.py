@@ -191,9 +191,17 @@ def q_psi_drift_events(spark, sf_dir):
 
 
 def q_ks_drift_events(spark, sf_dir):
-    """KS drift via applyInPandas (non-SQL-expressible: no oracle)."""
-    df = _t(spark, sf_dir, "events")
-    scores = drift_ops.ks(df, "value", "event_type")
+    """Approx-grid KS drift (applyInPandas), CERTIFIED against the exact-KS
+    DuckDB oracle: on `value` quantized to deciles (10 distinct values,
+    each ≥ 3.7% mass at every sf), every jump point provably lands on the
+    201-point quantile grid (mass ≥ 1% ≫ grid step 0.5% + sketch error
+    1e-4), and drift.ks evaluates both ECDFs exactly at grid points — so
+    the approx path reduces to the same integer-count divisions as
+    drift.ks_exact and the oracle hash matches bit-for-bit."""
+    df = _t(spark, sf_dir, "events").withColumn(
+        "value_q", F.least(F.floor(F.col("value") / 10), F.lit(9)).cast("double")
+    )
+    scores = drift_ops.ks(df, "value_q", "event_type")
     return scores.select("event_type", F.round("ks", 3).alias("ks"), "n")
 
 
@@ -1084,6 +1092,43 @@ FROM skeleton s
 LEFT JOIN part_p p ON p.event_type = s.event_type AND p.b = s.b
 LEFT JOIN ref_hist r ON r.b = s.b
 GROUP BY s.event_type
+""",
+        "ks_drift_events": """
+WITH pv AS (
+  SELECT event_type, CAST(least(floor(value / 10.0), 9) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+part_counts AS (
+  SELECT event_type, v, count(*)::BIGINT AS np FROM pv GROUP BY event_type, v
+),
+ref_counts AS (
+  SELECT v, count(*)::BIGINT AS nr FROM pv GROUP BY v
+),
+ref_cdf AS (
+  SELECT v,
+         SUM(nr) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r,
+         (SELECT SUM(nr) FROM ref_counts) AS n_total
+  FROM ref_counts
+),
+skeleton AS (
+  SELECT p.event_type, r.v
+  FROM (SELECT DISTINCT event_type FROM pv) p, (SELECT v FROM ref_counts) r
+),
+grid AS (
+  SELECT s.event_type, s.v,
+         SUM(coalesce(pc.np, 0)) OVER (
+           PARTITION BY s.event_type ORDER BY s.v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+         SUM(coalesce(pc.np, 0)) OVER (PARTITION BY s.event_type) AS n,
+         rc.cum_r, rc.n_total
+  FROM skeleton s
+  LEFT JOIN part_counts pc ON s.event_type = pc.event_type AND s.v = pc.v
+  JOIN ref_cdf rc ON s.v = rc.v
+)
+SELECT event_type,
+       round(MAX(ABS(cum_p::DOUBLE / n::DOUBLE - cum_r::DOUBLE / n_total::DOUBLE)), 3) AS ks,
+       MAX(n)::BIGINT AS n
+FROM grid GROUP BY event_type
 """,
         "ks_exact_events": """
 WITH pv AS (

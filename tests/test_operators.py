@@ -267,6 +267,19 @@ def test_ks_exact_detects_shift_and_quantizes(spark):
     assert ks["p1"] > 0.5
 
 
+def test_ks_approx_equals_exact_on_quantized(spark):
+    """The certification property behind the ks_drift_events oracle: on a
+    discrete column whose every distinct value carries ≥1% mass, the
+    quantile grid contains every jump point and drift.ks evaluates both
+    ECDFs exactly there — so the approx path equals ks_exact to the last
+    double (same integer-count divisions)."""
+    rows = [(f"p{i % 3}", float((i * 7) % 10)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "part string, x double")
+    approx = {r.part: (r.ks, r.n) for r in drift.ks(df, "x", "part").collect()}
+    exact = {r.part: (r.ks, r.n) for r in drift.ks_exact(df, "x", "part").collect()}
+    assert approx == exact
+
+
 def test_fingerprint_md5_matches_pure_python(spark):
     import hashlib
     import re
