@@ -22,6 +22,7 @@ determinism is independent of partitioning.
 
 from __future__ import annotations
 
+import base64
 from collections.abc import Iterator
 
 import numpy as np
@@ -40,9 +41,22 @@ IMAGE_SCHEMA = T.StructType(
         T.StructField("fmt", T.StringType(), True),
         T.StructField("caption", T.StringType(), True),
         T.StructField("phash", T.LongType(), True),
+        # typed metadata columns (input_hint core schema + metadata — the
+        # lax-wildcard analog): each exercises one of the lexical rule
+        # kinds (explicit_timezone, xsd_boolean, qname, hex/base64,
+        # list_items, duration)
+        T.StructField("created_at", T.StringType(), True),
+        T.StructField("tag", T.StringType(), True),
+        T.StructField("animated", T.StringType(), True),
+        T.StructField("icc_hex", T.StringType(), True),
+        T.StructField("exif_b64", T.StringType(), True),
+        T.StructField("flags", T.StringType(), True),
+        T.StructField("retention", T.StringType(), True),
         T.StructField("part", T.StringType(), True),
     ]
 )
+
+_COLUMNS = [f.name for f in IMAGE_SCHEMA.fields]
 
 _WORDS = (
     "red green blue solid gradient photo of a small large tiny bright dark "
@@ -52,7 +66,14 @@ _WORDS = (
 _FAMILIES = (
     "null", "bad_dims", "bad_fmt", "corrupt",
     "dup_id", "hot_phash", "long_caption", "bad_id",
+    # metadata-column families (appended — earlier index ranges stay stable)
+    "bad_tz", "bad_bool", "bad_qname", "bad_hex", "bad_b64", "bad_list",
+    "bad_duration",
 )
+
+_TAGS = ("img:photo", "img:chart", "media:scan", "photo")
+_BOOLS = ("true", "false", "0", "1")
+_FLAG_WORDS = ("hdr", "raw", "geo", "srgb")
 
 
 def _render(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
@@ -110,6 +131,24 @@ def _make_row(
     )
     image_id = f"img_{r.integers(0, 2**63):016x}"[:20]
 
+    # metadata columns draw from a SEPARATE rng stream: inserting draws
+    # into the original stream would shift image_id/pixels/phash and break
+    # every pre-existing golden expectation that depends on them
+    r2 = np.random.default_rng(seed * 2_000_003 + i)
+    created_at = (
+        f"2024-{int(r2.integers(1, 13)):02d}-{int(r2.integers(1, 29)):02d}"
+        f"T{int(r2.integers(0, 24)):02d}:{int(r2.integers(0, 60)):02d}"
+        f":{int(r2.integers(0, 60)):02d}Z"
+    )
+    tag = _TAGS[int(r2.integers(0, len(_TAGS)))]
+    animated = _BOOLS[int(r2.integers(0, len(_BOOLS)))]
+    icc_hex = bytes(r2.integers(0, 256, size=4).tolist()).hex()
+    exif_b64 = base64.b64encode(bytes(r2.integers(0, 256, size=6).tolist())).decode()
+    flags = " ".join(
+        _FLAG_WORDS[int(j)] for j in r2.integers(0, len(_FLAG_WORDS), size=int(r2.integers(1, 4)))
+    )
+    retention = f"P{int(r2.integers(1, 366))}D"
+
     if fam == "null":
         caption = None
         fmt = None
@@ -127,18 +166,41 @@ def _make_row(
         caption = "x" * 600
     elif fam == "bad_id":
         image_id = f"BAD ID {i}"
+    elif fam == "bad_tz":
+        created_at = created_at[:-1]  # timezone missing (explicitTimezone required)
+    elif fam == "bad_bool":
+        animated = "yes"  # outside the strict XSD boolean lexical space
+    elif fam == "bad_qname":
+        tag = "1bad:x"  # NCName may not start with a digit
+    elif fam == "bad_hex":
+        icc_hex = icc_hex[:-1]  # odd length — not pair-aligned hex
+    elif fam == "bad_b64":
+        exif_b64 = exif_b64[:-1] + "%"  # outside the base64 alphabet
+    elif fam == "bad_list":
+        flags = "hdr BAD! geo"  # item fails the [a-z]+ item pattern
+    elif fam == "bad_duration":
+        retention = retention[1:]  # '30D' — missing the leading P
 
-    return (image_id, data, w, h, fmt, caption, ph, part)
+    return (
+        image_id, data, w, h, fmt, caption, ph,
+        created_at, tag, animated, icc_hex, exif_b64, flags, retention, part,
+    )
 
 
 def _collect_fracs(
     null_frac=0.0, bad_dims_frac=0.0, bad_fmt_frac=0.0, corrupt_frac=0.0,
     dup_id_frac=0.0, hot_phash_frac=0.0, long_caption_frac=0.0, bad_id_frac=0.0,
+    bad_tz_frac=0.0, bad_bool_frac=0.0, bad_qname_frac=0.0, bad_hex_frac=0.0,
+    bad_b64_frac=0.0, bad_list_frac=0.0, bad_duration_frac=0.0,
 ) -> dict[str, float]:
     return {
         "null": null_frac, "bad_dims": bad_dims_frac, "bad_fmt": bad_fmt_frac,
         "corrupt": corrupt_frac, "dup_id": dup_id_frac, "hot_phash": hot_phash_frac,
         "long_caption": long_caption_frac, "bad_id": bad_id_frac,
+        "bad_tz": bad_tz_frac, "bad_bool": bad_bool_frac,
+        "bad_qname": bad_qname_frac, "bad_hex": bad_hex_frac,
+        "bad_b64": bad_b64_frac, "bad_list": bad_list_frac,
+        "bad_duration": bad_duration_frac,
     }
 
 
@@ -158,7 +220,7 @@ def generate_images_pdf(
         for i in range(n)
     ]
     return pd.DataFrame(
-        rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "part"]
+        rows, columns=_COLUMNS
     )
 
 
@@ -206,10 +268,7 @@ def generate_images_df(
                 )
                 for i in pdf["id"]
             ]
-            yield pd.DataFrame(
-                rows,
-                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "part"],
-            )
+            yield pd.DataFrame(rows, columns=_COLUMNS)
 
     slices = max(n_parts * 4, 32)
     rng_ids = spark.range(0, n, 1, slices)

@@ -83,6 +83,19 @@ def default_image_ruleset() -> RuleSet:
                 "",
                 {"sql": "length(bytes) <= w * h * 4 + 1024"},
             ),
+            # metadata-column lexical rules (one per round-2 rule kind)
+            R("created_tz", "explicit_timezone", "created_at", {"value": "required"}),
+            R("animated_bool", "xsd_boolean", "animated"),
+            R("tag_qname", "qname", "tag"),
+            R("icc_hex_ok", "hex_binary", "icc_hex"),
+            R("exif_b64_ok", "base64_binary", "exif_b64"),
+            R(
+                "flags_list",
+                "list_items",
+                "flags",
+                {"item_pattern": "[a-z]+", "min_items": 1, "max_items": 4},
+            ),
+            R("retention_dur", "duration", "retention", {"variant": "dayTime"}),
             R("id_unique", "key", "", {"columns": ["image_id"]}, scope="table"),
             R(
                 "phash_unique",
