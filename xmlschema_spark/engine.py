@@ -389,6 +389,7 @@ class ValidationEngine:
         run_id: str = "run0",
         with_stats: bool = True,
         stats_columns: list[str] | None = None,
+        distinct_rsd: float = 0.1,
     ) -> DataFrame:
         """ONE scan + ONE small shuffle: per-partition verdicts with
         per-rule violation counts and (optionally) per-column stats.
@@ -419,6 +420,7 @@ class ValidationEngine:
 
         src = df
         check_exprs: list = []
+        decode_str_stats: dict[str, tuple[str, str, str]] = {}
         if decode_rules or phash_rules:
             # Evaluate every ROW-rule predicate JVM-side BEFORE the Arrow
             # UDF (fused into the scan by codegen) and carry only the 0/1
@@ -426,21 +428,41 @@ class ValidationEngine:
             # into Python exactly once (decode input) and NEVER comes
             # back: at 10^12 rows the Python→JVM Arrow copy of the
             # payload would otherwise double the suite's memory traffic.
+            # The same thinking applies to STRING stats columns: instead
+            # of round-tripping variable-width strings through Arrow, only
+            # their fixed-width stats inputs cross — null flag, 7-byte
+            # prefix ordinal (min/max), xxhash64 (HLL hashes its input
+            # anyway, so approx_count_distinct over the hash estimates the
+            # same cardinality).
             flag_cols = [f"__v{i}" for i in range(len(self._row_preds))]
-            pre = df.select(
-                "*",
-                *[
-                    (~ok).cast("int").alias(fc)
-                    for fc, (_, ok, _reason) in zip(flag_cols, self._row_preds)
-                ],
-            )
-            stats_src = stats_columns or [
-                f.name for f in df.schema.fields
-                if f.name not in (self.partition_col, "bytes")
+            flag_exprs = [
+                (~ok).cast("int").alias(fc)
+                for fc, (_, ok, _reason) in zip(flag_cols, self._row_preds)
             ]
+            stats_src = (
+                stats_columns or [
+                    f.name for f in df.schema.fields
+                    if f.name not in (self.partition_col, "bytes")
+                ]
+            ) if with_stats else []
+            derived_exprs: list = []
+            for i, c in enumerate(
+                c for c in stats_src
+                if c != self.id_col
+                and isinstance(df.schema[c].dataType, T.StringType)
+            ):
+                names = (f"__st{i}_null", f"__st{i}_ord", f"__st{i}_hash")
+                derived_exprs += [
+                    F.col(c).isNull().cast("int").alias(names[0]),
+                    stats_ops._string_prefix_ordinal(F.col(c)).alias(names[1]),
+                    F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))).alias(names[2]),
+                ]
+                decode_str_stats[c] = names
+            pre = df.select("*", *flag_exprs, *derived_exprs)
             passthrough = [self.partition_col] + flag_cols + [
-                c for c in stats_src if c != self.id_col
-            ]
+                c for c in stats_src
+                if c != self.id_col and c not in decode_str_stats
+            ] + [n for names in decode_str_stats.values() for n in names]
             src = mm_ops.decode_check(
                 pre,
                 psnr_db=float((decode_rules or phash_rules)[0].param("psnr_db", 40.0)),
@@ -486,7 +508,18 @@ class ValidationEngine:
                 if f.name not in (self.partition_col, "bytes")
             ]
             for c in cols:
-                if isinstance(df.schema[c].dataType, T.StringType):
+                if c in decode_str_stats:
+                    # stats inputs were materialized JVM-side before the
+                    # Arrow UDF (fixed-width passthrough — see above)
+                    n_null, n_ord, n_hash = decode_str_stats[c]
+                    str_ord_cols.append(c)
+                    stat_aggs += [
+                        F.sum(F.col(n_null).cast("long")).alias(f"{c}__nulls"),
+                        F.min(F.col(n_ord)).alias(f"{c}__min"),
+                        F.max(F.col(n_ord)).alias(f"{c}__max"),
+                        F.approx_count_distinct(n_hash, distinct_rsd).alias(f"{c}__distinct"),
+                    ]
+                elif isinstance(df.schema[c].dataType, T.StringType):
                     # min/max over a STRING buffer would force the WHOLE
                     # one-pass aggregation into SortAggregate (a full sort
                     # of the decode output — ruinous at 10^12 rows); the
@@ -499,14 +532,14 @@ class ValidationEngine:
                         F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
                         F.min(ordinal).alias(f"{c}__min"),
                         F.max(ordinal).alias(f"{c}__max"),
-                        F.approx_count_distinct(c).alias(f"{c}__distinct"),
+                        F.approx_count_distinct(c, distinct_rsd).alias(f"{c}__distinct"),
                     ]
                 else:
                     stat_aggs += [
                         F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
                         F.min(F.col(c)).cast("string").alias(f"{c}__min"),
                         F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-                        F.approx_count_distinct(c).alias(f"{c}__distinct"),
+                        F.approx_count_distinct(c, distinct_rsd).alias(f"{c}__distinct"),
                     ]
 
         wide = src.groupBy(
