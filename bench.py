@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     # recall), so its cost is not representative of a production config
     "token_counts_docs",          # JVM-side text analysis
     "quality_docs",               # quality scoring
+    "nested_rules_docs",          # struct-field + forall array-element facets
+    "duration_events",            # duration lexical + interval range facets
     "pricing_summary",            # general wide aggregation
     "top_orders_per_segment",     # broadcast join + top-k window
 ]

@@ -117,7 +117,17 @@ def run_suite():
         .write.format("noop").mode("overwrite").save(),
         lambda: drift_ops.psi(df, "w", "part", bins=10)
         .write.format("noop").mode("overwrite").save(),
-        lambda: eng.validate_one_pass(df, run_id="scale", with_stats=True)
+        lambda: eng.validate_one_pass(
+            # decode_half: stage-scoped footprint matching (local-mode
+            # substitute for a task.cpus=2 stage-level resource profile,
+            # which local mode does not support): coalesce — a narrow
+            # dependency, NO shuffle — caps the fused scan+decode+partial-
+            # agg stage at cores/2 concurrent tasks, so its true thread
+            # footprint (JVM task thread + Arrow Python worker per task)
+            # equals the core count, while the sibling JVM-only jobs keep
+            # full slot parallelism over the 256-partition cache.
+            df.coalesce(cores // 2) if {decode_half} else df,
+            run_id="scale", with_stats=True)
         .write.format("noop").mode("overwrite").save(),
     ]
 
@@ -156,12 +166,12 @@ class Level:
     timed suite per RUN request (idle at a blocked stdin read otherwise)."""
 
     def __init__(self, cores: int, n: int, min_side: int, max_side: int,
-                 pin: bool, task_cpus: int):
+                 pin: bool, task_cpus: int, decode_half: bool = False):
         self.cores, self.n = cores, n
         code = CHILD.format(
             repo=str(REPO), cores=cores, n=n, min_side=min_side,
             max_side=max_side, pin="True" if pin else "False",
-            task_cpus=task_cpus,
+            task_cpus=task_cpus, decode_half="True" if decode_half else "False",
         )
         self.proc = subprocess.Popen(
             [sys.executable, "-c", code], cwd=str(REPO), text=True, bufsize=1,
@@ -283,11 +293,11 @@ def hw_ceiling(n_lo: int, n_hi: int) -> dict:
 
 def measure_pair(
     n_lo: int, n_hi: int, n: int, min_side: int, max_side: int,
-    samples: int, pin: bool, task_cpus: int,
+    samples: int, pin: bool, task_cpus: int, decode_half: bool = False,
 ) -> dict:
     """Alternating-sample protocol (see module docstring)."""
-    lo = Level(n_lo, n, min_side, max_side, pin, task_cpus)
-    hi = Level(n_hi, n, min_side, max_side, pin, task_cpus)
+    lo = Level(n_lo, n, min_side, max_side, pin, task_cpus, decode_half)
+    hi = Level(n_hi, n, min_side, max_side, pin, task_cpus, decode_half)
     try:
         lo.wait_ready()
         hi.wait_ready()
