@@ -81,6 +81,85 @@ def test_parse_yearmonth_values(spark):
     assert got["P1D"] is None
 
 
+def test_duration_encode_roundtrip(spark):
+    """encode(parse(x)) is canonical and parse(encode(iv)) == iv — the
+    decode → validate → encode round trip for durations (iter_encode
+    analog)."""
+    from xmlschema_spark.encode import canonical_lexical
+
+    df = spark.createDataFrame(
+        [("P1DT2H",), ("PT90M",), ("-PT30.5S",), ("P3D",), ("PT0S",),
+         ("P1DT0.25S",), (None,)],
+        "s string",
+    ).withColumn("iv", parse_daytime_duration(F.col("s")))
+    enc = df.withColumn("lex", canonical_lexical(F.col("iv"), "dayTimeDuration"))
+    enc = enc.withColumn("iv2", parse_daytime_duration(F.col("lex")))
+    rows = enc.collect()
+    got = {r.s: (r.lex, r.iv, r.iv2) for r in rows}
+    assert got["P1DT2H"][0] == "P1DT2H"
+    assert got["PT90M"][0] == "PT1H30M"  # canonical: minutes carried into hours
+    assert got["-PT30.5S"][0] == "-PT30.5S"
+    assert got["PT0S"][0] == "PT0S"
+    assert got["P1DT0.25S"][0] == "P1DT0.25S"
+    assert got[None][0] is None
+    for s, (lex, iv, iv2) in got.items():
+        assert iv == iv2, f"round-trip broke for {s}: {lex}"
+
+
+def test_yearmonth_encode(spark):
+    from xmlschema_spark.encode import canonical_lexical
+    from xmlschema_spark.functions.durations import parse_yearmonth_duration
+
+    df = spark.createDataFrame(
+        [("P1Y2M",), ("-P3M",), ("P24M",), ("P0Y",)], "s string"
+    ).withColumn(
+        "lex",
+        canonical_lexical(parse_yearmonth_duration(F.col("s")), "yearMonthDuration"),
+    )
+    got = {r.s: r.lex for r in df.collect()}
+    assert got == {"P1Y2M": "P1Y2M", "-P3M": "-P3M", "P24M": "P2Y", "P0Y": "P0M"}
+
+
+def test_daytime_roundtrip_property(spark):
+    """Property: for any (sign, d, h, m, s·μs) the constructed lexical
+    parses to the expected timedelta and re-encodes canonically to a form
+    that parses back to the SAME interval (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xmlschema_spark.encode import canonical_lexical
+
+    cases = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        sign=st.sampled_from(["", "-"]),
+        d=st.integers(0, 400),
+        h=st.integers(0, 30),
+        m=st.integers(0, 70),
+        us=st.integers(0, 10**6 * 80),
+    )
+    def collect(sign, d, h, m, us):
+        lex = f"{sign}P{d}DT{h}H{m}M{us / 10**6}S"
+        want = (-1 if sign else 1) * datetime.timedelta(
+            days=d, hours=h, minutes=m, microseconds=us
+        )
+        cases.append((lex, want))
+
+    collect()
+    df = spark.createDataFrame(cases, "lex string, want interval day to second")
+    out = df.withColumn("iv", parse_daytime_duration(F.col("lex"))).withColumn(
+        "iv2",
+        parse_daytime_duration(
+            canonical_lexical(F.col("iv"), "dayTimeDuration")
+        ),
+    )
+    bad = out.filter(
+        ~(F.col("iv") == F.col("want")) | ~(F.col("iv2") == F.col("iv"))
+    ).count()
+    assert bad == 0
+
+
 def test_range_facets_on_decoded_interval(spark):
     """min/max facets work on the decoded DayTimeIntervalType column —
     the value-space comparison the reference does on Duration objects."""

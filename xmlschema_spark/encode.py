@@ -65,9 +65,65 @@ def canonical_lexical(col: Column, xsd_type: str) -> Column:
         return F.when(
             col.isNull(), F.lit(None).cast("string")
         ).otherwise(F.date_format(col, "yyyy-MM-dd"))
+    if t in ("daytimeduration", "duration"):
+        return _encode_daytime_duration(col)
+    if t == "yearmonthduration":
+        return _encode_yearmonth_duration(col)
     if t in _INT_TYPES or t == "string":
         return col.cast("string")
     raise ValueError(f"no canonical encoder for xsd type {xsd_type!r}")
+
+
+def _encode_daytime_duration(col: Column) -> Column:
+    """DayTimeIntervalType → canonical ``xs:dayTimeDuration`` lexical form
+    (XSD Part 2 §3.3.x canonical mapping: zero components omitted, ``PT0S``
+    for zero, fraction-second trailing zeros stripped). Inverse of
+    ``functions.durations.parse_daytime_duration``; round-trip is
+    property-tested. Pure arithmetic — no UDF."""
+    neg = col < F.expr("INTERVAL '0' SECOND")
+    d = F.abs(F.extract(F.lit("DAY"), col))
+    h = F.abs(F.extract(F.lit("HOUR"), col))
+    m = F.abs(F.extract(F.lit("MINUTE"), col))
+    s = F.abs(F.extract(F.lit("SECOND"), col))  # decimal(8,6), fraction kept
+    s_str = F.regexp_replace(
+        F.regexp_replace(s.cast("string"), r"(\.\d*?)0+$", r"$1"),
+        r"\.$", "",
+    )
+    time_part = F.concat(
+        F.when(h > 0, F.concat(h.cast("string"), F.lit("H"))).otherwise(F.lit("")),
+        F.when(m > 0, F.concat(m.cast("string"), F.lit("M"))).otherwise(F.lit("")),
+        F.when(s > 0, F.concat(s_str, F.lit("S"))).otherwise(F.lit("")),
+    )
+    body = F.concat(
+        F.when(d > 0, F.concat(d.cast("string"), F.lit("D"))).otherwise(F.lit("")),
+        F.when(F.length(time_part) > 0, F.concat(F.lit("T"), time_part)).otherwise(F.lit("")),
+    )
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.when(neg, F.lit("-")).otherwise(F.lit("")),
+            F.lit("P"),
+            F.when(F.length(body) > 0, body).otherwise(F.lit("T0S")),
+        )
+    )
+
+
+def _encode_yearmonth_duration(col: Column) -> Column:
+    """YearMonthIntervalType → canonical ``xs:yearMonthDuration`` (``P0M``
+    for zero; zero components omitted)."""
+    neg = col < F.expr("INTERVAL '0' MONTH")
+    y = F.abs(F.extract(F.lit("YEAR"), col))
+    m = F.abs(F.extract(F.lit("MONTH"), col))
+    body = F.concat(
+        F.when(y > 0, F.concat(y.cast("string"), F.lit("Y"))).otherwise(F.lit("")),
+        F.when(m > 0, F.concat(m.cast("string"), F.lit("M"))).otherwise(F.lit("")),
+    )
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.when(neg, F.lit("-")).otherwise(F.lit("")),
+            F.lit("P"),
+            F.when(F.length(body) > 0, body).otherwise(F.lit("0M")),
+        )
+    )
 
 
 def encode_columns(df: DataFrame, mapping: dict[str, str], suffix: str = "__lex") -> DataFrame:
