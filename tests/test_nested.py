@@ -173,3 +173,16 @@ def test_engine_violations_on_nested(spark, nested_df):
     assert got == {("n_min", "2"), ("w_len", "2")}
     reasons = {r.rule_id: r.reason for r in v.collect()}
     assert "[each element]" in reasons["w_len"]
+
+
+def test_consistency_separates_each_from_array_facets():
+    """min_length(each element) and max_length(array size) on the same
+    column are DIFFERENT value spaces — the facet-consistency check must
+    not merge them into one group (would falsely raise minLength >
+    maxLength here)."""
+    RuleSet(
+        [
+            Rule("w_each", "min_length", "words", {"value": 5, "each": True}),
+            Rule("w_size", "max_length", "words", {"value": 3}),
+        ]
+    )._check_consistency()  # must not raise

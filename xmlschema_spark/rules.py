@@ -277,8 +277,16 @@ class RuleSet:
         by_target: dict[tuple, dict[str, Any]] = {}
         for r in self.rules:
             if r.kind in _RANGE_KINDS | _LENGTH_KINDS | _DIGIT_KINDS:
-                by_target.setdefault((r.column, r.gate), {})[r.kind] = r.param("value")
-        for (col, _gate), kinds in by_target.items():
+                # each=True element facets target a different value space
+                # than facets on the array column itself (e.g. min_length
+                # on every word vs max_length on the word COUNT) — they
+                # must not be merged into one consistency group
+                tgt = (
+                    r.column, r.gate,
+                    bool(r.param("each")), r.param("field"),
+                )
+                by_target.setdefault(tgt, {})[r.kind] = r.param("value")
+        for (col, _gate, _each, _field), kinds in by_target.items():
             lo = kinds.get("min", kinds.get("min_exclusive"))
             hi = kinds.get("max", kinds.get("max_exclusive"))
             exclusive = "min_exclusive" in kinds or "max_exclusive" in kinds
@@ -345,7 +353,11 @@ class RuleSet:
         def _by_target(rs: "RuleSet") -> dict[tuple, dict[str, Rule]]:
             out: dict[tuple, dict[str, Rule]] = {}
             for r in rs.rules:
-                out.setdefault((r.column, r.gate), {})[r.kind] = r
+                # element-scope (each/field) facets are a separate target
+                # from facets on the column itself (same reasoning as in
+                # _check_consistency)
+                tgt = (r.column, r.gate, bool(r.param("each")), r.param("field"))
+                out.setdefault(tgt, {})[r.kind] = r
             return out
 
         mine, theirs = _by_target(self), _by_target(base)
@@ -356,7 +368,11 @@ class RuleSet:
         }
 
         for target, b_kinds in theirs.items():
-            col = f"column {target[0]!r}" + (f" (gate {target[1]!r})" if target[1] else "")
+            col = (
+                f"column {target[0]!r}"
+                + (f" (gate {target[1]!r})" if target[1] else "")
+                + (" (each element" + (f".{target[3]}" if target[3] else "") + ")" if target[2] else "")
+            )
             d_kinds = mine.get(target, {})
 
             def _bound(kinds, lo: bool):
