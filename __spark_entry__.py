@@ -698,6 +698,27 @@ def q_quality_docs(spark, sf_dir):
     )
 
 
+def q_pipeline_clean_docs(spark, sf_dir):
+    """End-to-end training-data cleaning pipeline — the composition a real
+    corpus pass runs: quality gate (rubric score ≥ 0.65) → keep-smallest-id
+    exact dedup on normalized content → per-language surviving doc/char
+    counts. Every stage is an already-certified operator; this certifies
+    the COMPOSITION (filter → window dedup → agg) end-to-end against one
+    DuckDB oracle. The filter applies to the 4-decimal-rounded score on
+    both sides so the gate is engine-portable."""
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "snippet", F.substring("text", 1, 30)
+    )
+    scored = text_ops.quality_score(df, "text", "doc_id")
+    good_ids = scored.filter(F.round("quality_score", 4) >= 0.65).select("doc_id")
+    good = df.join(good_ids, "doc_id")
+    kept = dedup_ops.drop_exact_duplicates(good, "snippet", "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars_kept"),
+    )
+
+
 def q_fingerprint_docs(spark, sf_dir):
     """Winnowing-style doc fingerprint (xxhash64 — not oracle-expressible)."""
     df = _t(spark, sf_dir, "documents")
@@ -910,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_docs": q_token_counts_docs,
         "lang_pred_counts": q_lang_pred_counts,
         "quality_docs": q_quality_docs,
+        "pipeline_clean_docs": q_pipeline_clean_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "fingerprint_md5_docs": q_fingerprint_md5_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
@@ -1560,6 +1582,45 @@ SELECT doc_id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
       + (1 - LEAST(digit_ratio * 4, 1.0)) * 0.2
       + CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 0.2 ELSE 0.0 END, 4) AS quality_score
 FROM g
+""",
+        "pipeline_clean_docs": """
+WITH f AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}'']+'), x -> length(x) > 0) AS toks,
+    len(toks) AS n_tokens,
+    GREATEST(length(text), 1) AS safe_chars,
+    GREATEST(len(toks), 1) AS safe_toks,
+    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) AS n_punct,
+    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS n_digit,
+    list_sum(list_transform(toks, x -> length(x))) AS sum_len
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    round(LEAST(n_tokens / 20.0, 1.0) * 0.4
+        + (1 - LEAST((n_punct * 1.0 / safe_chars) * 4, 1.0)) * 0.2
+        + (1 - LEAST((n_digit * 1.0 / safe_chars) * 4, 1.0)) * 0.2
+        + CASE WHEN (coalesce(sum_len, 0) * 1.0 / safe_toks) >= 2
+                AND (coalesce(sum_len, 0) * 1.0 / safe_toks) <= 12
+               THEN 0.2 ELSE 0.0 END, 4) AS q
+  FROM f
+),
+good AS (
+  SELECT d.doc_id, d.text, d.lang
+  FROM documents d JOIN g USING (doc_id) WHERE g.q >= 0.65
+),
+kept AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           row_number() OVER (
+             PARTITION BY trim(regexp_replace(lower(substring(text, 1, 30)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM good
+  ) WHERE rn = 1
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(length(text))::BIGINT AS n_chars_kept
+FROM kept GROUP BY lang
 """,
         "jaccard_pairs_docs": """
 WITH toks AS (
