@@ -440,6 +440,16 @@ Efficiency = **{o_eff:.3f} raw** (median of same-window sample pairs
 {over_json['median_pair_eff']:.3f}; all pairs {over_json['pair_effs']}).
 """
 
+    ceil_note = ""
+    if primary["hw_kernel_eff"] > 1.0:
+        ceil_note = (
+            "\n\n*Note: a ceiling above 1.0 means the host's available "
+            "capacity ROSE between the before/after ceiling measurements "
+            "(shared-VM drift), not super-linear hardware; it is reported "
+            "verbatim and the normalized figure is meaningless this run — "
+            "the verdict rests on the RAW efficiency alone.*"
+        )
+
     md = f"""# BENCH — two-parallelism scaling proof
 
 North rule (`BASELINE.json`): throughput scaling efficiency
@@ -523,7 +533,7 @@ validation kernel {n_lo}->{n_hi} better than ceiling (a). On a real N-
 vs 4N-executor cluster the 4N level brings 4x independent machines (4x
 sockets, 4x memory buses): these ceilings are ~1.0 there, and the
 job-attributable efficiency — the job's share of the achievable scaling
-— is what transfers.
+— is what transfers.{ceil_note}
 {def_md}{sec_md}{over_md}
 Raw results artifact: `BENCH_SCALING.json` (written by every run).
 Reproduce: `python scripts/scaling_bench.py` (measured {res['measured']}).
