@@ -25,10 +25,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entry
-from xmlschema_spark.engine import ValidationEngine
 from xmlschema_spark.session import get_spark
 from xmlschema_spark.sources.images import generate_images_df
-from xmlschema_spark.sources.rules_loader import default_image_ruleset
 
 BENCH_QUERIES = [
     "row_violations_orders",      # wide single-pass facet projection
@@ -113,10 +111,7 @@ def main():
     # task.cpus=2 serial; see BENCH.md). AQE is toggled off for this
     # fixed-shape phase only: its per-stage driver replanning adds serial
     # latency and buys nothing when stage shapes are static.
-    from concurrent.futures import ThreadPoolExecutor
-
-    from xmlschema_spark.operators import drift as drift_ops
-    from xmlschema_spark.operators import identity as id_ops
+    from xmlschema_spark.benchsuite import make_run_suite
 
     # 256 partitions = several task waves per slot at local[32]: decode
     # task times vary ~4x with image area, and few-wave schedules turn
@@ -128,38 +123,13 @@ def main():
     )
     df = df.cache()
     df.count()  # materialize input outside the timed window
-    eng = ValidationEngine(default_image_ruleset())
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-    def run_suite():
-        # short set-level jobs first, long decode job last; one fair pool
-        # PER JOB — FAIR mode shares slots between pools, while jobs in a
-        # single shared pool still queue FIFO within it
-        jobs = [
-            lambda: _force(id_ops.duplicate_values(df, ["image_id"])),
-            lambda: _force(id_ops.duplicate_values(df, ["phash"], salt_partitions=16)),
-            lambda: _force(drift_ops.psi(df, "w", "part", bins=10)),
-            # stage-scoped decode sizing (see scripts/scaling_bench.py):
-            # coalesce(cores/2) — a narrow dependency, no shuffle — makes
-            # the decode stage's thread footprint (JVM task + Arrow
-            # worker per task) equal the core count; measured ~40% faster
-            # than full-slot decode at 8 cores AND the config that clears
-            # the >=0.8 scaling bar
-            lambda: _force(eng.validate_one_pass(
-                df.coalesce(max(1, int(cpus) // 2)), run_id="bench", with_stats=True)),
-        ]
-
-        def in_pool(i, job):
-            sc = spark.sparkContext
-            sc.setLocalProperty("spark.scheduler.pool", f"suite{i}")
-            try:
-                job()
-            finally:
-                sc.setLocalProperty("spark.scheduler.pool", None)
-
-        with ThreadPoolExecutor(4) as ex:
-            for f in [ex.submit(in_pool, i, j) for i, j in enumerate(jobs)]:
-                f.result()
+    # the suite shape (job set, FAIR pools, stage-scoped decode sizing via
+    # coalesce(cores/2) — measured ~40% faster than full-slot decode at 8
+    # cores AND the config that clears the >=0.8 scaling bar) is shared
+    # with both scaling harnesses: xmlschema_spark/benchsuite.py
+    run_suite = make_run_suite(spark, df, int(cpus), decode_half=True)
 
     run_suite()  # untimed plan-compile warm-up (same run_id → same plans)
     t0 = time.time()

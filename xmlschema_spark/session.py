@@ -73,17 +73,19 @@ def get_spark(
     return spark
 
 
-def _ship_package(spark: SparkSession) -> None:
-    """Make ``xmlschema_spark`` importable on executor Python workers.
+def package_zip() -> Path | None:
+    """Zip the installed package for shipping (``--py-files`` / addPyFile).
 
-    The pandas-UDF closures reference this package, so workers must be
-    able to import it regardless of the driver's cwd — the same problem
-    ``spark-submit --py-files xmlschema_spark.zip`` solves on a real
-    cluster. Zips the installed package once per session and addPyFile's
-    it (idempotent: Spark dedups by filename)."""
+    Content-fingerprinted filename so repeat calls are free and Spark's
+    addPyFile dedup works. Returns None when the package is ALREADY being
+    imported from a zip (a ``spark-submit --py-files`` run): there is no
+    source tree to re-zip — and no need, spark-submit has already shipped
+    the original archive to every executor."""
     import hashlib
 
     pkg_dir = Path(__file__).resolve().parent
+    if not pkg_dir.is_dir():  # zipimport: __file__ points inside the archive
+        return None
     files = sorted(pkg_dir.rglob("*.py"))
     fingerprint = hashlib.sha256(
         "".join(f"{p}:{p.stat().st_mtime_ns}:{p.stat().st_size}" for p in files).encode()
@@ -93,4 +95,17 @@ def _ship_package(spark: SparkSession) -> None:
         with zipfile.ZipFile(zip_path, "w") as zf:
             for py in files:
                 zf.write(py, f"xmlschema_spark/{py.relative_to(pkg_dir)}")
-    spark.sparkContext.addPyFile(str(zip_path))
+    return zip_path
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``xmlschema_spark`` importable on executor Python workers.
+
+    The pandas-UDF closures reference this package, so workers must be
+    able to import it regardless of the driver's cwd — the same problem
+    ``spark-submit --py-files xmlschema_spark.zip`` solves on a real
+    cluster. Zips the installed package once per session and addPyFile's
+    it (idempotent: Spark dedups by filename)."""
+    zip_path = package_zip()
+    if zip_path is not None:
+        spark.sparkContext.addPyFile(str(zip_path))
