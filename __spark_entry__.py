@@ -105,11 +105,17 @@ def q_one_pass_verdicts_lineitem(spark, sf_dir):
 
 
 def q_strict_mode_first_violation(spark, sf_dir):
-    """strict mode = fail-fast single error (xsdbase.py:698-701 analog)."""
+    """strict mode = fail-fast single error (xsdbase.py:698-701 analog).
+
+    The reported violation is DETERMINISTIC: min (rule_id, row_id) within
+    the first failing branch (a rule table has no document order, so a
+    defined total order is the distributed analog of "first error in
+    document order") — which makes this oracle-checkable: the oracle
+    replays the row-rule branch and takes the same minimum."""
     df = _t(spark, sf_dir, "orders")
     eng = ValidationEngine(_orders_rules(), id_col="o_orderkey", partition_col="o_orderpriority")
     res = eng.validate(df, run_id="r", mode="strict", with_stats=False)
-    return res.violations.select("rule_id", "severity")
+    return res.violations.select("rule_id", "severity", "row_id")
 
 
 def q_unique_dups_part(spark, sf_dir):
@@ -158,6 +164,26 @@ def q_stats_profile_customer(spark, sf_dir):
     df = _t(spark, sf_dir, "customer")
     cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
     prof = stats_ops.profile(df, cols, exact_distinct=True)
+    return prof.select(
+        "column", "n_rows", "n_nulls",
+        F.round("null_rate", 6).alias("null_rate"),
+        "min_value", "max_value", "n_distinct",
+    )
+
+
+def q_sketch_rollup_customer(spark, sf_dir):
+    """Durable per-partition HLL sketches rolled up to the table profile
+    (the Iceberg partition-statistics model — merge is metadata-only, no
+    rescan). n_distinct comes from the merged DataSketches union; at
+    these cardinalities (5 segments, 25 nations) the sparse-mode sketch
+    is EXACT, so the DuckDB count(DISTINCT) oracle applies verbatim —
+    certifying sketch + union + estimate end to end, not just the
+    trivially-mergeable sums."""
+    df = _t(spark, sf_dir, "customer")
+    sk = stats_ops.partition_sketches(
+        df, ["c_nationkey", "c_mktsegment"], scope_col="c_mktsegment"
+    )
+    prof = stats_ops.merge_sketches(sk)
     return prof.select(
         "column", "n_rows", "n_nulls",
         F.round("null_rate", 6).alias("null_rate"),
@@ -744,6 +770,34 @@ def q_simhash_dups_docs(spark, sf_dir):
     return dedup_ops.simhash_near_duplicates(df, "text", "doc_id", max_hamming=3)
 
 
+def q_minhash_md5_pairs_docs(spark, sf_dir):
+    """The portable-hash certification config of minhash LSH: md5 lanes
+    and band hashes are computable identically by DuckDB, so the oracle
+    certifies the ENTIRE pipeline — normalization, shingling, lane mins,
+    banding, hot-bucket capping, pair counting — end to end. The
+    production family (q_minhash_pairs_docs, xxhash64) differs only in
+    the hash function; every plan shape is shared."""
+    df = _t(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_candidates(
+        df, "text", "doc_id", num_hashes=32, bands=16, shingle_k=4,
+        hash_family="md5",
+    )
+
+
+def q_simhash_md5_dups_docs(spark, sf_dir):
+    """The portable-hash certification config of SimHash near-dup: token
+    bits come from md5 hex nibbles (decoded the same way by Spark `conv`
+    and DuckDB `strpos`), so bit votes, signature assembly, pigeonhole
+    blocking, the block cap and the hamming filter are all
+    oracle-certified. q_simhash_dups_docs (xxhash64) is the production
+    family over the identical plan."""
+    df = _t(spark, sf_dir, "documents")
+    out = dedup_ops.simhash_near_duplicates(
+        df, "text", "doc_id", max_hamming=3, hash_family="md5"
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def q_jaccard_pairs_docs(spark, sf_dir):
     """Exact n-gram Jaccard similarity via inverted-index join. k=4 with a
     tight posting cap: the synthetic corpus draws from a tiny vocabulary,
@@ -901,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyref_orphans": q_keyref_orphans,
         "key_nulls_orders": q_key_nulls_orders,
         "stats_profile_customer": q_stats_profile_customer,
+        "sketch_rollup_customer": q_sketch_rollup_customer,
         "histogram_mktsegment": q_histogram_mktsegment,
         "quantiles_customer": q_quantiles_customer,
         "psi_drift_events": q_psi_drift_events,
@@ -935,7 +990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "fingerprint_md5_docs": q_fingerprint_md5_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
+        "minhash_md5_pairs_docs": q_minhash_md5_pairs_docs,
         "simhash_dups_docs": q_simhash_dups_docs,
+        "simhash_md5_dups_docs": q_simhash_md5_dups_docs,
         "jaccard_pairs_docs": q_jaccard_pairs_docs,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -949,7 +1006,145 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _minhash_md5_oracle(num_hashes: int = 32, bands: int = 16, k: int = 4,
+                        cap: int = 200) -> str:
+    """DuckDB replay of the FULL md5-family minhash LSH pipeline
+    (dedup.minhash_lsh_candidates(hash_family='md5')): md5 hex is
+    identical in both engines and fixed-length hex min == 128-bit
+    numeric min, so every stage is expressible. Generated (32 lanes,
+    16 band hashes) rather than hand-written."""
+    rows = num_hashes // bands
+    lanes = ",\n     ".join(
+        f"list_min(list_transform(shingles, x -> md5('{s}:' || x)))"
+        for s in range(num_hashes)
+    )
+    bands_list = ",\n      ".join(
+        "md5(" + " || ',' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                x -> length(x) > 0) AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc,
+    CASE WHEN len(words) >= {k}
+         THEN list_distinct(list_transform(generate_series(1, len(words) - {k - 1}),
+                                           i -> array_to_string(words[i:i+{k - 1}], ' ')))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM toks
+),
+lanes AS (
+  SELECT doc,
+    [{lanes}] AS sig
+  FROM sh
+),
+bandlist AS (
+  SELECT doc,
+    [{bands_list}] AS bh
+  FROM lanes
+),
+banded AS (
+  SELECT doc, i AS band, bh[i+1] AS band_hash
+  FROM bandlist, generate_series(0, {bands - 1}) AS t(i)
+),
+hot AS (
+  SELECT band, band_hash FROM banded GROUP BY band, band_hash HAVING count(*) > {cap}
+),
+ok AS (
+  SELECT b.doc, b.band, b.band_hash FROM banded b
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = b.band AND h.band_hash = b.band_hash)
+)
+SELECT a.doc AS id_a, b.doc AS id_b, count(*)::BIGINT AS n_shared_bands
+FROM ok a JOIN ok b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc
+GROUP BY a.doc, b.doc
+"""
+
+
+def _simhash_md5_oracle(max_hamming: int = 3, chunk_bits: int = 16,
+                        cap: int = 200) -> str:
+    """DuckDB replay of the FULL md5-family SimHash pipeline
+    (dedup.simhash_near_duplicates(hash_family='md5')): token bits are
+    md5 hex nibbles (strpos against '0123456789abcdef' == Spark conv),
+    64 bit-vote sums, two's-complement signature assembly (bit 63 is the
+    min-long literal), pigeonhole chunking with the block cap, and
+    bit_count(xor(...)) hamming. Generated, not hand-written."""
+    nibs = ",\n    ".join(
+        f"strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1 AS n{j}"
+        for j in range(16)
+    )
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (n{b // 4} & {1 << (b % 4)}) != 0 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
+    )
+    sig_expr = "\n      + ".join(
+        f"(CASE WHEN b{b} > 0 THEN "
+        + ("(-9223372036854775807 - 1)" if b == 63 else str(1 << b))
+        + " ELSE 0 END)::BIGINT"
+        for b in range(64)
+    )
+    n_chunks = 64 // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> length(x) > 0)) AS tok
+  FROM documents
+),
+hs AS (SELECT doc, md5(tok) AS h FROM toks),
+nib AS (
+  SELECT doc,
+    {nibs}
+  FROM hs
+),
+votes AS (
+  SELECT doc,
+    {votes}
+  FROM nib GROUP BY doc
+),
+sig0 AS (
+  SELECT doc,
+    ({sig_expr}) AS simhash
+  FROM votes
+),
+sigs AS (
+  SELECT d.doc_id AS doc, coalesce(s.simhash, 0)::BIGINT AS simhash
+  FROM documents d LEFT JOIN sig0 s ON s.doc = d.doc_id
+),
+chunks AS (
+  SELECT doc, simhash, i AS chunk_idx,
+         (simhash >> (i * {chunk_bits})) & {mask} AS chunk_val
+  FROM sigs, generate_series(0, {n_chunks - 1}) AS t(i)
+),
+hot AS (
+  SELECT chunk_idx, chunk_val FROM chunks GROUP BY 1, 2 HAVING count(*) > {cap}
+),
+ok AS (
+  SELECT c.doc, c.simhash, c.chunk_idx, c.chunk_val FROM chunks c
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.chunk_idx = c.chunk_idx AND h.chunk_val = c.chunk_val)
+),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b, a.simhash AS ha, b.simhash AS hb
+  FROM ok a JOIN ok b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc < b.doc
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_literals()
+    sql["minhash_md5_pairs_docs"] = _minhash_md5_oracle()
+    sql["simhash_md5_dups_docs"] = _simhash_md5_oracle()
+    return sql
+
+
+def _oracle_sql_literals() -> dict[str, str]:
     return {
         "row_violations_orders": """
 WITH v AS (
@@ -976,6 +1171,41 @@ WITH v AS (
   FROM orders WHERE NOT coalesce(o_orderstatus <> 'P' OR o_totalprice <= 400000, FALSE)
 )
 SELECT * FROM v
+""",
+        "strict_mode_first_violation": """
+WITH v AS (
+  SELECT 'status_enum' AS rule_id, 'error' AS severity, CAST(o_orderkey AS VARCHAR) AS row_id
+  FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
+  UNION ALL
+  SELECT 'price_min', 'error', CAST(o_orderkey AS VARCHAR)
+  FROM orders WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice >= 2000)
+  UNION ALL
+  SELECT 'price_max', 'error', CAST(o_orderkey AS VARCHAR)
+  FROM orders WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice <= 450000)
+  UNION ALL
+  SELECT 'prio_pattern', 'error', CAST(o_orderkey AS VARCHAR)
+  FROM orders WHERE o_orderpriority IS NOT NULL
+    AND NOT regexp_full_match(o_orderpriority, '(?:[1-5]-[A-Z]+)')
+  UNION ALL
+  SELECT 'price_priority', 'error', CAST(o_orderkey AS VARCHAR)
+  FROM orders WHERE NOT coalesce(o_orderstatus <> 'P' OR o_totalprice <= 400000, FALSE)
+)
+SELECT rule_id, severity, row_id FROM v ORDER BY rule_id ASC, row_id ASC LIMIT 1
+""",
+        "sketch_rollup_customer": """
+SELECT 'c_mktsegment' AS "column", count(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       round(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)::DOUBLE AS null_rate,
+       CAST(min(c_mktsegment) AS VARCHAR) AS min_value, CAST(max(c_mktsegment) AS VARCHAR) AS max_value,
+       count(DISTINCT c_mktsegment)::BIGINT AS n_distinct
+FROM customer
+UNION ALL
+SELECT 'c_nationkey', count(*)::BIGINT,
+       SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       round(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)::DOUBLE,
+       CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR),
+       count(DISTINCT c_nationkey)::BIGINT
+FROM customer
 """,
         "violation_counts_lineitem": """
 SELECT * FROM (

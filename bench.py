@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "unique_dups_scoped",         # partition-scoped uniqueness
     "keyref_orphans",             # broadcast left-anti referential join
     "stats_profile_customer",     # single-pass wide stats agg
+    "sketch_rollup_customer",     # per-partition HLL sketches + metadata-only rollup
     "quantiles_customer",         # single-agg quantile profile
     "psi_drift_events",           # SQL-only drift
     "ks_drift_events",            # applyInPandas drift

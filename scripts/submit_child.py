@@ -18,9 +18,11 @@ worker inherits it.
 The measured workload is byte-for-byte the same as
 ``scripts/scaling_bench.py``'s — both import it from
 ``xmlschema_spark.benchsuite`` (see that module for the suite shape and
-FAIR-pool rationale) and speak the same stdin RUN / stdout SAMPLE
+FAIR-pool rationale) and speak the same RUN / SAMPLE
 protocol, so the orchestrator can alternate samples between levels
-within the same host-drift windows.
+within the same host-drift windows. Commands arrive via a polled file
+(--cmd-file) because spark-submit's PythonRunner forwards the Python
+driver's stdout up to the JVM but never forwards JVM stdin down.
 """
 
 from __future__ import annotations
@@ -36,6 +38,9 @@ def main() -> None:
     ap.add_argument("--max-side", type=int, default=128)
     ap.add_argument("--decode-half", action="store_true")
     ap.add_argument("--task-cpus", type=int, default=1)
+    ap.add_argument("--cmd-file", required=True,
+                    help="command file polled for RUN/EXIT lines (stdin is "
+                         "NOT forwarded through spark-submit's PythonRunner)")
     args = ap.parse_args()
 
     # identical measurement conf to scaling_bench.py's child: AQE off for
@@ -60,7 +65,8 @@ def main() -> None:
 
     df = prepare_input(spark, args.n, min_side=args.min_side,
                        max_side=args.max_side)
-    serve(make_run_suite(spark, df, args.cores, args.decode_half))
+    serve(make_run_suite(spark, df, args.cores, args.decode_half),
+          cmd_path=args.cmd_file)
     spark.stop()
 
 

@@ -63,6 +63,12 @@ class SubmitLevel:
                  min_side: int, max_side: int, decode_half: bool):
         self.cores, self.n = cores, n
         self.errlog = open(scratch / f"submit_{cores}.log", "w")
+        # commands travel via an appended file the child polls:
+        # spark-submit's PythonRunner pipes the Python driver's stdout up
+        # to the JVM's stdout but does NOT forward JVM stdin down to the
+        # driver, so a stdin protocol deadlocks under spark-submit.
+        self.cmd_path = scratch / f"cmd_{cores}.txt"
+        self.cmd_path.write_text("")
         env = dict(os.environ)
         # one BLAS thread per worker (same rule get_spark applies): the
         # orchestrator sets it in the env so driver-side numpy obeys too.
@@ -77,13 +83,18 @@ class SubmitLevel:
             str(REPO / "scripts" / "submit_child.py"),
             "--cores", str(cores), "--n", str(n),
             "--min-side", str(min_side), "--max-side", str(max_side),
+            "--cmd-file", str(self.cmd_path),
         ]
         if decode_half:
             cmd.append("--decode-half")
         self.proc = subprocess.Popen(
             cmd, cwd=str(scratch), env=env, text=True, bufsize=1,
-            stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=self.errlog,
+            stdin=subprocess.DEVNULL, stdout=subprocess.PIPE, stderr=self.errlog,
         )
+
+    def _send(self, cmd: str) -> None:
+        with self.cmd_path.open("a") as f:
+            f.write(cmd + "\n")
 
     def _read_until(self, prefix: str, timeout_s: float) -> str:
         deadline = time.time() + timeout_s
@@ -100,15 +111,13 @@ class SubmitLevel:
         self._read_until("READY", timeout_s)
 
     def sample(self, timeout_s: float = 1800) -> float:
-        self.proc.stdin.write("RUN\n")
-        self.proc.stdin.flush()
+        self._send("RUN")
         sec = float(self._read_until("SAMPLE", timeout_s).split()[1])
         return round(self.n / sec, 1)
 
     def close(self) -> None:
         try:
-            self.proc.stdin.write("EXIT\n")
-            self.proc.stdin.flush()
+            self._send("EXIT")
             self.proc.wait(timeout=60)
         except Exception:
             self.proc.kill()

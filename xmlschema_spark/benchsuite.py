@@ -108,20 +108,44 @@ def make_run_suite(
     return run_suite
 
 
-def serve(run_suite: Callable[[], None]) -> None:
-    """stdin-driven sampling loop shared by both harness children.
+def serve(run_suite: Callable[[], None], cmd_path: str | None = None) -> None:
+    """Command-driven sampling loop shared by both harness children.
 
     One untimed warm-up spins up the Python worker pool (pandas/numpy
     import per core) and JIT/codegen-compiles every plan in the suite —
     cluster provisioning + first-query compile cost, not steady-state
     throughput. Timed samples reuse the same run_id so plans are
     identical. The orchestrator alternates RUN requests between the two
-    parallelism levels; between requests the child idles at a blocked
-    stdin read."""
+    parallelism levels; between requests the child idles.
+
+    Command channel: ``cmd_path=None`` reads RUN/EXIT lines from stdin
+    (the in-process harness launches a plain ``python`` child, whose
+    stdin the orchestrator owns). Under ``spark-submit`` stdin does NOT
+    work — Spark's PythonRunner pipes the Python driver's stdout up to
+    the JVM's, but never forwards the JVM's stdin down — so the packaged
+    harness passes a ``cmd_path`` file instead, which this loop polls for
+    appended commands. Responses go to stdout in both modes."""
     run_suite()
     print("READY", flush=True)
-    for line in sys.stdin:
-        cmd = line.strip()
+
+    def commands():
+        if cmd_path is None:
+            yield from (line.strip() for line in sys.stdin)
+            return
+        seen = 0
+        while True:
+            try:
+                lines = open(cmd_path).read().splitlines()
+            except FileNotFoundError:
+                lines = []
+            if len(lines) <= seen:
+                time.sleep(0.2)
+                continue
+            for line in lines[seen:]:
+                yield line.strip()
+            seen = len(lines)
+
+    for cmd in commands():
         if cmd == "RUN":
             t0 = time.time()
             run_suite()

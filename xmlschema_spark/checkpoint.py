@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xmlschema_spark.engine import ValidationEngine
+from xmlschema_spark.operators import stats as stats_ops
 from xmlschema_spark.rules import RuleSet
 
 
@@ -58,6 +59,10 @@ class CheckpointedRun:
     @property
     def verdicts_dir(self) -> str:
         return str(Path(self.base_dir) / self.run_id / "verdicts")
+
+    @property
+    def stats_dir(self) -> str:
+        return str(Path(self.base_dir) / self.run_id / "stats")
 
     # ----------------------------------------------------------------- state
 
@@ -84,9 +89,19 @@ class CheckpointedRun:
         batch_size: int = 4,
         secondary: dict[str, DataFrame] | None = None,
         fail_after_batches: int | None = None,
+        with_stats: bool = False,
     ) -> None:
         """Process all pending partitions. ``fail_after_batches`` exists for
-        the kill-and-resume test (FIXTURES.md `resume_midrun`)."""
+        the kill-and-resume test (FIXTURES.md `resume_midrun`).
+
+        ``with_stats=True`` additionally writes one DURABLE per-partition
+        metrics row (typed counts/min/max + a mergeable DataSketches HLL
+        sketch per column — the Iceberg partition-statistics model) per
+        processed partition. The rows ride the same dynamic
+        partition-overwrite idempotency as the violation sinks, so a
+        resumed run re-sketches only the partitions it re-validates;
+        :meth:`stats_profile` rolls whatever is on disk up to the
+        table-level profile without rescanning the data."""
         spark = df.sparkSession
         part_col = self.engine.partition_col
         lineage = {
@@ -122,6 +137,17 @@ class CheckpointedRun:
             result.verdicts.write.mode("overwrite").partitionBy("partition_id").parquet(
                 self.verdicts_dir
             )
+            if with_stats:
+                # scope column renamed to partition_id so the sink layout
+                # (.../stats/partition_id=<p>/) matches the other sinks and
+                # dynamic overwrite replaces exactly the re-run partitions
+                (
+                    stats_ops.partition_sketches(sub, scope_col=part_col)
+                    .withColumnRenamed("scope", "partition_id")
+                    .write.mode("overwrite")
+                    .partitionBy("partition_id")
+                    .parquet(self.stats_dir)
+                )
             result.unpersist()  # release per-batch caches before the next batch
             elapsed = time.time() - t0
             self._append_state(
@@ -168,3 +194,13 @@ class CheckpointedRun:
 
     def verdicts(self, spark) -> DataFrame:
         return spark.read.parquet(self.verdicts_dir)
+
+    def partition_stats(self, spark) -> DataFrame:
+        """The durable per-partition metrics rows (run with
+        ``with_stats=True`` first)."""
+        return spark.read.parquet(self.stats_dir)
+
+    def stats_profile(self, spark) -> DataFrame:
+        """Table-level profile rolled up from the durable per-partition
+        sketches — metadata-only, the data itself is not re-read."""
+        return stats_ops.merge_sketches(self.partition_stats(spark))

@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="checkpointed partition-batched run (re-entrant)")
     p.add_argument("--batch-size", type=int, default=8,
                    help="partitions per batch in --resume mode")
+    p.add_argument("--partition-stats", action="store_true",
+                   help="in --resume mode, also persist durable mergeable "
+                        "per-partition HLL metrics rows (Iceberg "
+                        "partition-statistics analog)")
     p.add_argument("--restricts", metavar="BASE_RULES_JSON",
                    help="assert --rules is a valid derivation-by-restriction "
                         "of this base rule set, then exit (no Spark job)")
@@ -96,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.resume:
         from xmlschema_spark.checkpoint import CheckpointedRun
         run = CheckpointedRun(engine, args.output, args.run_id)
-        run.run(df, batch_size=args.batch_size)
+        run.run(df, batch_size=args.batch_size, with_stats=args.partition_stats)
         run.finish(df)
         verdicts = run.verdicts(spark)
         summary = {r.partition_id: r.status for r in verdicts.collect()}

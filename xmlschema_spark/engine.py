@@ -346,7 +346,16 @@ class ValidationEngine:
             for make in branch_makers:
                 hit_found = False
                 for branch in make():
-                    hit = branch.limit(1).persist()
+                    # deterministic "first": min (rule_id, row_id) within the
+                    # first failing branch. A rule table has no document order
+                    # (the reference raises at the first error in document
+                    # order, xsdbase.py:698-701), so a defined total order is
+                    # the distributed analog — the same input always reports
+                    # the same violation, which a bare limit(1) does not
+                    # guarantee. orderBy+limit compiles to
+                    # TakeOrderedAndProject (per-partition top-1, driver
+                    # merge), NOT a global sort — same cost shape as limit(1).
+                    hit = branch.orderBy("rule_id", "row_id").limit(1).persist()
                     if hit.take(1):
                         violations = hit
                         hit_found = True

@@ -127,18 +127,37 @@ def shingles(col, k: int = 5):
     )
 
 
-def minhash_signature(shingle_col, num_hashes: int = 64):
-    """k minhash values, each = min over shingles of xxhash64(shingle, seed).
-    Pure built-ins: transform + array_min + xxhash64 — whole-stage codegen,
-    no Python in the hot path."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed)))
-            )
-            for seed in range(num_hashes)
-        ]
-    )
+def minhash_signature(shingle_col, num_hashes: int = 64, hash_family: str = "xxhash64"):
+    """k minhash values, each = min over shingles of hash(shingle, seed).
+    Pure built-ins: transform + array_min + hash — whole-stage codegen,
+    no Python in the hot path.
+
+    ``hash_family``:
+
+    - ``"xxhash64"`` (default, the scale path): seeded 64-bit longs —
+      fastest JVM hash Spark exposes, but not computable by the DuckDB
+      oracle, so queries over it are rows-only checked.
+    - ``"md5"`` (the PORTABLE family): lane i = lexicographic min of
+      ``md5('<i>:' || shingle)`` hex strings. Both Spark and DuckDB emit
+      identical lowercase 32-char hex, and fixed-length hex compares
+      lexicographically exactly as the 128-bit value compares numerically
+      — so the ENTIRE minhash+LSH pipeline (shingling, lanes, banding,
+      bucket join, caps) becomes end-to-end oracle-certifiable, not just
+      a hash-free sibling. Identical plan shape; md5 costs ~2-3x xxhash64
+      per call, which is why it is the certification family, not the
+      production default.
+    """
+    if hash_family == "xxhash64":
+        lane = lambda seed: F.array_min(  # noqa: E731
+            F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed)))
+        )
+    elif hash_family == "md5":
+        lane = lambda seed: F.array_min(  # noqa: E731
+            F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+        )
+    else:
+        raise ValueError(f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}")
+    return F.array(*[lane(seed) for seed in range(num_hashes)])
 
 
 def minhash_lsh_candidates(
@@ -149,6 +168,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 5,
     max_bucket_size: int = 200,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash LSH →
     (id_a, id_b, n_shared_bands). rows/band = num_hashes/bands controls the
@@ -158,22 +178,27 @@ def minhash_lsh_candidates(
     pair groupBy. ``max_bucket_size`` drops degenerate buckets (e.g. empty
     docs / boilerplate) that would otherwise create quadratic pair blowup
     — the LSH equivalent of hot-key salting, logged as dropped coverage.
+
+    ``hash_family``: see :func:`minhash_signature` — ``"md5"`` makes the
+    whole pipeline DuckDB-oracle-expressible (band hash = md5 of the
+    comma-joined lane strings), ``"xxhash64"`` is the production default.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
+    band_hash = F.xxhash64 if hash_family == "xxhash64" else F.md5
     # materialize shingles ONCE, then hash: inlining the shingle expression
     # into all k minhash lanes would re-evaluate it k times per row.
     shingled = df.select(
         F.col(id_col).alias("doc"), shingles(F.col(text_col), shingle_k).alias("sh")
     )
-    sig = minhash_signature(F.col("sh"), num_hashes)
+    sig = minhash_signature(F.col("sh"), num_hashes, hash_family)
     banded = shingled.select(F.col("doc"), sig.alias("sig")).select(
         "doc",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
+                    band_hash(
                         F.concat_ws(
                             ",",
                             *[
@@ -266,10 +291,12 @@ def jaccard_pairs(
     return out
 
 
-def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, hash_family: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash per doc, fully JVM-side → (doc, simhash).
 
-    Shape: explode tokens → ``xxhash64(token)`` → 64 conditional-sum
+    Shape: explode tokens → 64-bit token hash → 64 conditional-sum
     "bit votes" in ONE hash aggregation → reassemble the sign bits into a
     long. No Python anywhere (round 1 hashed per token in a Python inner
     loop — the one UDF the plan audit flagged).
@@ -280,6 +307,14 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     exchange — the shuffle moves n_docs rows of 64 longs, not n_tokens
     rows. Empty/whitespace-only/null docs keep signature 0 (the round-1
     behavior) via the left join back to the id set.
+
+    ``hash_family``: ``"xxhash64"`` (production) takes the token's seeded
+    JVM hash directly; ``"md5"`` (the portable certification family, see
+    :func:`minhash_signature`) takes the 64 bits of the first 16 hex chars
+    of ``md5(token)``, bit b = bit (b mod 4) of hex nibble (b div 4) —
+    nibble-wise so both Spark (``conv``) and DuckDB (``strpos`` against
+    '0123456789abcdef') decode identically with no 64-bit unsigned
+    overflow anywhere. Same plan shape either way.
     """
     ids = df.select(F.col(id_col).alias("doc"))
     toks = df.select(
@@ -287,15 +322,31 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
         ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_family == "xxhash64":
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+
+        def bit(b):
+            return F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1
+    elif hash_family == "md5":
+        toks = toks.withColumn("h", F.md5("tok"))
+        # 16 nibble columns decoded once each; the 64 bit predicates each
+        # read one nibble — conv() runs 16x per token, not 64x
+        toks = toks.select(
+            "doc",
+            *[
+                F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int").alias(f"n{j}")
+                for j in range(16)
+            ],
+        )
+
+        def bit(b):
+            return F.col(f"n{b // 4}").bitwiseAND(F.lit(1 << (b % 4))) != 0
+    else:
+        raise ValueError(f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}")
     votes = toks.groupBy("doc").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1))
-            ).alias(f"b{b}")
+            F.sum(F.when(bit(b), F.lit(1)).otherwise(F.lit(-1))).alias(f"b{b}")
             for b in range(64)
         ]
     )
@@ -318,6 +369,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     chunk_bits: int = 16,
     max_block_size: int = 200,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming ≤ k, found scalably via the
     pigeonhole trick: split 64 bits into (max_hamming+1) chunks — any pair
@@ -332,11 +384,14 @@ def simhash_near_duplicates(
     filter). Blocks above the cap are dropped via an anti-join on the
     block-size aggregate — dropped coverage, like hot-key salting caps,
     is the deliberate trade; a pair sharing ONLY an over-cap chunk is
-    missed. Pass ``None`` to disable (exhaustive small-scale/test use)."""
+    missed. Pass ``None`` to disable (exhaustive small-scale/test use).
+
+    ``hash_family``: see :func:`simhash_signatures` — ``"md5"`` makes this
+    whole operator DuckDB-oracle-expressible end to end."""
     n_chunks = 64 // chunk_bits
     if max_hamming >= n_chunks:
         raise ValueError("need chunks > max_hamming for pigeonhole completeness")
-    sigs = simhash_signatures(df, text_col, id_col)
+    sigs = simhash_signatures(df, text_col, id_col, hash_family)
     mask = (1 << chunk_bits) - 1
     chunks = sigs.select(
         "doc",

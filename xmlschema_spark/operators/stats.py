@@ -169,3 +169,100 @@ def value_histogram(df: DataFrame, column: str, scope_col: str | None = None) ->
         F.col(column).alias("value")
     ]
     return df.groupBy(*group).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ------------------------------------------------------------- HLL sketches
+#
+# The north star asks for "distinct via HLL" over Iceberg partitions with
+# per-partition metrics rows. approx_count_distinct (profile() above) is
+# HLL++ but its buffer is consumed by the aggregation — the sketch itself
+# is not materializable or mergeable across runs. The functions below use
+# Spark's Apache DataSketches integration (hll_sketch_agg / hll_union_agg,
+# Spark >= 3.5) to make per-partition sketches DURABLE: a checkpointed run
+# writes one typed stats row + one binary sketch per (partition, column),
+# and the table-level profile — including the global distinct estimate —
+# is a rollup over those rows with NO rescan of the data. That is the
+# Iceberg partition-statistics model: partition metrics are written once
+# at commit time, table stats are metadata-only merges, and a resumed or
+# incremental run only sketches the partitions it actually processed.
+
+
+def partition_sketches(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    scope_col: str = "part",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-``scope_col`` WIDE stats row: for each column c —
+    ``c__n``, ``c__nulls``, ``c__min``/``c__max`` (original type; binary
+    columns use length), ``c__sketch`` (DataSketches HLL, binary).
+
+    One groupBy(scope) aggregation — a single scan with partial aggs, same
+    plan shape as :func:`profile`. Types are PRESERVED (wide, not stacked)
+    so the merge step can take true typed min/max instead of lexicographic
+    string min/max, which would be wrong for numerics ("10" < "9").
+
+    ``lg_k=12`` = 4096 buckets ≈ 1.6 kB per sketch, <2% relative error —
+    per-partition metrics stay metadata-sized even with thousands of
+    partitions x dozens of columns."""
+    if columns is None:
+        columns = [f.name for f in df.schema.fields if f.name != scope_col]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        target = F.length(col) if types[c] == "binary" else col
+        # hll_sketch_agg accepts int/long/string/binary buckets; cast other
+        # types through string for a stable lexical identity
+        sk_in = col if types[c] in ("int", "bigint", "string", "binary") else col.cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(target).alias(f"{c}__min"),
+            F.max(target).alias(f"{c}__max"),
+            F.hll_sketch_agg(sk_in, lg_k).alias(f"{c}__sketch"),
+        ]
+    return df.groupBy(F.col(scope_col).alias("scope")).agg(*aggs)
+
+
+def merge_sketches(sketches: DataFrame) -> DataFrame:
+    """Roll a :func:`partition_sketches` table (possibly read back from a
+    checkpoint, possibly the union of several incremental runs) up to the
+    table-level long-format profile: (column, n_rows, n_nulls, null_rate,
+    min_value, max_value, n_distinct).
+
+    Metadata-only: the input is one row per partition, so this aggregation
+    touches kilobytes regardless of how many data rows the sketches
+    summarize. ``hll_union_agg`` merges sketches exactly (HLL union is
+    lossless w.r.t. the individual sketches); min/max/sums are trivially
+    mergeable. The scan of the underlying data happened once, at sketch
+    time — the 10^12-row table is NOT re-read."""
+    cols = sorted({n.rsplit("__", 1)[0] for n in sketches.columns if "__" in n})
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(f"{c}__n").alias(f"{c}__n"),
+            F.sum(f"{c}__nulls").alias(f"{c}__nulls"),
+            F.min(f"{c}__min").cast("string").alias(f"{c}__min"),
+            F.max(f"{c}__max").cast("string").alias(f"{c}__max"),
+            F.hll_sketch_estimate(F.hll_union_agg(f"{c}__sketch", True)).alias(
+                f"{c}__distinct"
+            ),
+        ]
+    wide = sketches.agg(*aggs)
+    stack_items = ", ".join(
+        f"'{c}', {_bq(c + '__n')}, {_bq(c + '__nulls')}, {_bq(c + '__min')}, "
+        f"{_bq(c + '__max')}, {_bq(c + '__distinct')}"
+        for c in cols
+    )
+    stacked = wide.selectExpr(
+        f"stack({len(cols)}, {stack_items}) as "
+        "(column, n_rows, n_nulls, min_value, max_value, n_distinct)"
+    )
+    return stacked.withColumn(
+        "null_rate",
+        F.when(F.col("n_rows") > 0, F.col("n_nulls") / F.col("n_rows")).otherwise(0.0),
+    ).select(
+        "column", "n_rows", "n_nulls", "null_rate",
+        "min_value", "max_value", "n_distinct",
+    )
