@@ -31,7 +31,13 @@ from xmlschema_spark.sources.images import generate_images_df
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # the driver's sf* tables are single-row-group parquet files — an
+    # unsplittable one-task scan; the guard repartitions those (and ONLY
+    # those) so CPU-dense rule projections use every core. See
+    # sources/scan.py; results are row-order-independent throughout.
+    from xmlschema_spark.sources.scan import ensure_scan_parallelism
+
+    return ensure_scan_parallelism(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 # --------------------------------------------------------------------------

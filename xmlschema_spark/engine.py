@@ -112,14 +112,20 @@ class ValidationEngine:
             )
             for r, ok, reason in self._row_preds
         ]
-        exploded = (
-            df.select(
-                F.col(self.id_col).cast("string").alias("row_id"),
-                F.col(self.partition_col).cast("string").alias("partition_id"),
-                F.array_compact(F.array(*structs)).alias("__v"),
-            )
-            .filter(F.size("__v") > 0)
-            .select("row_id", "partition_id", F.explode("__v").alias("v"))
+        # Plan-shape rules learned the hard way (each measured ~2-6x wall
+        # on a computed-column rule suite like the interval parse):
+        # - no filter(size(__v) > 0) before the explode: explode (not
+        #   explode_outer) already emits zero rows for an empty array, and
+        #   a size() pre-filter collapses into the projection, DUPLICATING
+        #   the entire rule-struct array expression per row;
+        # - the explode lives in the SAME select that builds the array: a
+        #   separate project of __v followed by explode("__v") keeps the
+        #   Generate's child materializing the full struct array alongside
+        #   the generator (measured 6x slower than the inline form).
+        exploded = df.select(
+            F.col(self.id_col).cast("string").alias("row_id"),
+            F.col(self.partition_col).cast("string").alias("partition_id"),
+            F.explode(F.array_compact(F.array(*structs))).alias("v"),
         )
         return exploded.select(
             F.lit(run_id).alias("run_id"),

@@ -2,6 +2,7 @@
 
 from xmlschema_spark.sources.images import IMAGE_SCHEMA, generate_images_pdf, generate_images_df
 from xmlschema_spark.sources.rules_loader import load_rules_json, rules_to_df
+from xmlschema_spark.sources.scan import ensure_scan_parallelism
 
 __all__ = [
     "IMAGE_SCHEMA",
@@ -9,4 +10,5 @@ __all__ = [
     "generate_images_df",
     "load_rules_json",
     "rules_to_df",
+    "ensure_scan_parallelism",
 ]
