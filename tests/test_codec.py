@@ -81,3 +81,20 @@ def test_phash_deterministic_and_discriminative():
 def test_psnr_identity_is_inf():
     img = _img(8)
     assert codec.psnr(img, img) == float("inf")
+
+
+def test_reencode_values_bit_identical_to_roundtrip():
+    """reencode_values must equal decode(encode(...)) EXACTLY for every
+    lossy format and odd/even dims — it is the same math minus the
+    bijective zlib stage, so the PSNR path may substitute it freely."""
+    import numpy as np
+
+    from xmlschema_spark.functions import codec
+
+    rng = np.random.default_rng(99)
+    for h, w in [(16, 16), (17, 23), (9, 8), (1, 1)]:
+        pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for fmt in ("jpeg", "webp"):
+            roundtrip, _ = codec.decode_image(codec.encode_image(pixels, fmt, level=1))
+            fast = codec.reencode_values(pixels, fmt)
+            assert np.array_equal(roundtrip, fast), (fmt, h, w)

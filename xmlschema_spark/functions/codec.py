@@ -151,6 +151,29 @@ def _block_mean_gray(pixels: np.ndarray, n: int = 8) -> np.ndarray:
     return (sums / areas).astype(np.float64)
 
 
+def reencode_values(pixels: np.ndarray, fmt: str, quality: int = 8) -> np.ndarray:
+    """Value-space image of ``decode_image(encode_image(pixels, fmt))``
+    for the lossy formats, SKIPPING the zlib stage: compression is
+    bijective — it changes the payload bytes, never the decoded values —
+    so the internal-consistency PSNR computed against this array is
+    bit-identical to the encode→decode roundtrip while not paying
+    deflate+inflate per image (deflate is the single most expensive step
+    of the roundtrip). The arithmetic below mirrors ``encode_image``
+    exactly, including its uint8 wraparound behavior."""
+    if fmt == "jpeg":
+        q = max(1, min(255, int(quality)))
+        return ((pixels // q) * q + q // 2).astype(np.uint8)
+    if fmt == "webp":
+        h, w = pixels.shape[:2]
+        h2, w2 = (h + 1) // 2, (w + 1) // 2
+        padded = np.pad(pixels, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+        small = (
+            padded.reshape(h2, 2, w2, 2, 3).mean(axis=(1, 3)).round().astype(np.uint8)
+        )
+        return np.ascontiguousarray(small.repeat(2, axis=0).repeat(2, axis=1)[:h, :w])
+    raise ValueError(f"not a lossy fmt: {fmt}")
+
+
 def phash64(pixels: np.ndarray) -> int:
     """64-bit perceptual hash: 8×8 block-mean luma thresholded at its median.
 

@@ -126,12 +126,14 @@ def decode_check(
                     if actual_fmt in codec.LOSSLESS:
                         psnr_v[i] = float("inf")
                     else:
-                        # internal-consistency PSNR: re-encode decoded
-                        # pixels with the same codec and compare decodes
-                        # (zlib level changes payload size only — level 1
-                        # for throughput)
-                        re_enc = codec.encode_image(pixels, actual_fmt, level=1)
-                        re_dec, _ = codec.decode_image(re_enc)
+                        # internal-consistency PSNR: the decoded pixels
+                        # must reproduce themselves through the lossy
+                        # transform. reencode_values is the value-space
+                        # encode→decode roundtrip minus the zlib stage
+                        # (bijective — bytes change, values never do), so
+                        # the PSNR is bit-identical to a real re-encode
+                        # while skipping deflate+inflate per image.
+                        re_dec = codec.reencode_values(pixels, actual_fmt)
                         psnr_v[i] = codec.psnr(pixels, re_dec)
                     if check_phash:
                         ham = codec.hamming64(codec.phash64(pixels), int(phs[i]))
