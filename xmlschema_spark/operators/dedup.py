@@ -296,15 +296,16 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash per doc, fully JVM-side → (doc, simhash).
 
-    Shape: explode tokens → 64-bit token hash → 64 conditional-sum
-    "bit votes" in ONE hash aggregation → reassemble the sign bits into a
-    long. No Python anywhere (round 1 hashed per token in a Python inner
-    loop — the one UDF the plan audit flagged).
+    Shape: explode tokens → 64-bit token hash → SWAR-packed bit votes
+    (16 longs of four 16-bit lanes, see the inline comment) in ONE hash
+    aggregation → reassemble the sign bits into a long. No Python
+    anywhere (round 1 hashed per token in a Python inner loop — the one
+    UDF the plan audit flagged).
 
     Scale note: the explode multiplies rows by ~tokens/doc, but all of a
     doc's tokens sit in the SAME input partition, so the partial (map-side)
     aggregate collapses them back to one 64-vote row per doc before the
-    exchange — the shuffle moves n_docs rows of 64 longs, not n_tokens
+    exchange — the shuffle moves n_docs rows of 17 longs, not n_tokens
     rows. Empty/whitespace-only/null docs keep signature 0 (the round-1
     behavior) via the left join back to the id set.
 
