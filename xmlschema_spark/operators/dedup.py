@@ -14,7 +14,7 @@ similarity). All variants are shuffle-conscious:
 - exact-jaccard verification via an inverted-index join (explode shingles,
   join on shingle, count common) — still no O(n²).
 - simhash: 64-bit bit-vote signature computed fully JVM-side (explode
-  tokens → xxhash64 → 64 conditional sums in one partial-aggregated
+  tokens → hash → SWAR-packed vote lanes in one partial-aggregated
   hash agg), near-dup = small hamming distance.
 - embedding near-dup: cosine ≥ threshold via LSH bucketing or brute force
   (see similarity.py).
