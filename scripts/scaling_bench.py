@@ -379,9 +379,10 @@ zipped, and each level is ONE real `spark-submit --master
 local[{sub['n_lo']} | {sub['n_hi']}] --py-files xmlschema_spark.zip` job
 launched from an empty scratch directory (imports resolve only from the
 shipped zip), `taskset`-pinned to exactly N / 4N cores, running the
-byte-identical suite (`xmlschema_spark.benchsuite`) in the production
-stage-scoped sizing under the same alternating-sample protocol
-({sub['samples']} samples/level, n={sub['n']} images).
+byte-identical suite (`xmlschema_spark.benchsuite`) under the
+{sub.get('sizing', 'production stage-scoped')} sizing and the same
+alternating-sample protocol ({sub['samples']} samples/level,
+n={sub['n']} images).
 
 | parallelism | cores | best wall sec | best images/sec | all samples (img/s) |
 |---|---|---|---|---|
