@@ -246,6 +246,24 @@ def q_ks_exact_events(spark, sf_dir):
     return scores.select("event_type", F.round("ks", 3).alias("ks"), "n")
 
 
+def q_chi2_drift_events(spark, sf_dir):
+    """Pearson chi-squared drift of `value` per event_type vs whole table
+    (sample-size-aware homogeneity statistic; same single-aggregation
+    histogram shape as PSI)."""
+    df = _t(spark, sf_dir, "events")
+    scores = drift_ops.divergence(df, "value", "event_type", metric="chi2", bins=10)
+    return scores.select("event_type", F.round("chi2", 3).alias("chi2"))
+
+
+def q_jsd_drift_events(spark, sf_dir):
+    """Jensen-Shannon divergence drift of `value` per event_type vs whole
+    table (symmetric, bounded [0, ln 2] — comparable across partitions of
+    any size, unlike chi2)."""
+    df = _t(spark, sf_dir, "events")
+    scores = drift_ops.divergence(df, "value", "event_type", metric="jsd", bins=10)
+    return scores.select("event_type", F.round("jsd", 6).alias("jsd"))
+
+
 def q_doc_rule_counts(spark, sf_dir):
     """length / enumeration / fixed / pattern / assertion facets on documents."""
     rs = RuleSet(
@@ -967,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_events": q_psi_drift_events,
         "ks_drift_events": q_ks_drift_events,
         "ks_exact_events": q_ks_exact_events,
+        "chi2_drift_events": q_chi2_drift_events,
+        "jsd_drift_events": q_jsd_drift_events,
         "doc_rule_counts": q_doc_rule_counts,
         "gated_rule_docs": q_gated_rule_docs,
         "occurs_words_docs": q_occurs_words_docs,
@@ -1350,6 +1370,76 @@ FROM skeleton s
 LEFT JOIN part_p p ON p.event_type = s.event_type AND p.b = s.b
 LEFT JOIN ref_hist r ON r.b = s.b
 GROUP BY s.event_type
+""",
+        "chi2_drift_events": """
+WITH bounds AS (
+  SELECT min(value)::DOUBLE AS lo, max(value)::DOUBLE AS hi FROM events
+),
+bucketed AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(floor((value - lo) / (CASE WHEN hi - lo = 0 THEN 1.0 ELSE hi - lo END) * 10) AS BIGINT), 0), 9) AS b
+  FROM events, bounds WHERE value IS NOT NULL
+),
+ref_hist AS (
+  SELECT b, count(*)::DOUBLE / (SELECT count(*) FROM bucketed) AS ref_p
+  FROM bucketed GROUP BY b
+),
+part_hist AS (
+  SELECT event_type, b, count(*)::DOUBLE AS n FROM bucketed GROUP BY event_type, b
+),
+part_p AS (
+  SELECT event_type, b, n / SUM(n) OVER (PARTITION BY event_type) AS p,
+         SUM(n) OVER (PARTITION BY event_type) AS n_part
+  FROM part_hist
+),
+skeleton AS (
+  SELECT DISTINCT e.event_type, g.b
+  FROM events e, (SELECT unnest(generate_series(0, 9)) AS b) g
+)
+SELECT s.event_type,
+       round(coalesce(MAX(p.n_part), 0)
+             * SUM(pow(coalesce(p.p, 0) + 1e-6 - (coalesce(r.ref_p, 0) + 1e-6), 2)
+                   / (coalesce(r.ref_p, 0) + 1e-6)), 3) AS chi2
+FROM skeleton s
+LEFT JOIN part_p p ON p.event_type = s.event_type AND p.b = s.b
+LEFT JOIN ref_hist r ON r.b = s.b
+GROUP BY s.event_type
+""",
+        "jsd_drift_events": """
+WITH bounds AS (
+  SELECT min(value)::DOUBLE AS lo, max(value)::DOUBLE AS hi FROM events
+),
+bucketed AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(floor((value - lo) / (CASE WHEN hi - lo = 0 THEN 1.0 ELSE hi - lo END) * 10) AS BIGINT), 0), 9) AS b
+  FROM events, bounds WHERE value IS NOT NULL
+),
+ref_hist AS (
+  SELECT b, count(*)::DOUBLE / (SELECT count(*) FROM bucketed) AS ref_p
+  FROM bucketed GROUP BY b
+),
+part_hist AS (
+  SELECT event_type, b, count(*)::DOUBLE AS n FROM bucketed GROUP BY event_type, b
+),
+part_p AS (
+  SELECT event_type, b, n / SUM(n) OVER (PARTITION BY event_type) AS p FROM part_hist
+),
+skeleton AS (
+  SELECT DISTINCT e.event_type, g.b
+  FROM events e, (SELECT unnest(generate_series(0, 9)) AS b) g
+),
+terms AS (
+  SELECT s.event_type,
+         coalesce(p.p, 0) + 1e-6 AS p,
+         coalesce(r.ref_p, 0) + 1e-6 AS q
+  FROM skeleton s
+  LEFT JOIN part_p p ON p.event_type = s.event_type AND p.b = s.b
+  LEFT JOIN ref_hist r ON r.b = s.b
+)
+SELECT event_type,
+       round(0.5 * SUM(p * ln(p / ((p + q) / 2)))
+             + 0.5 * SUM(q * ln(q / ((p + q) / 2))), 6) AS jsd
+FROM terms GROUP BY event_type
 """,
         "ks_drift_events": """
 WITH pv AS (

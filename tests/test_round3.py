@@ -161,3 +161,86 @@ def test_decode_check_large_binary_offsets(spark):
     finally:
         spark.conf.set("spark.sql.execution.arrow.useLargeVarTypes", "false")
     assert large == base
+
+
+# ---------------------------------------------------------------- divergence
+
+
+def _drift_df(spark):
+    rows = []
+    for i in range(200):
+        rows.append(("stable", float(i % 50)))
+    for i in range(100):
+        rows.append(("shifted", 40.0 + (i % 10)))  # mass squeezed into top buckets
+    rows.append(("allnull", None))
+    return spark.createDataFrame(rows, "part string, v double")
+
+
+def test_divergence_chi2_matches_numpy(spark):
+    """chi2 against a hand-rolled numpy computation of the same smoothed
+    histogram formula (n_part * sum((p-q)^2/q), eps=1e-6, 10 buckets)."""
+    import numpy as np
+
+    from xmlschema_spark.operators import drift
+
+    df = _drift_df(spark)
+    got = {r.part: r.chi2 for r in drift.divergence(df, "v", "part", metric="chi2").collect()}
+
+    vals = df.collect()
+    lo, hi = 0.0, 49.0
+    bins, eps = 10, 1e-6
+    def hist(vs):
+        c = np.zeros(bins)
+        for v in vs:
+            b = min(max(int((v - lo) / (hi - lo) * bins), 0), bins - 1)
+            c[b] += 1
+        return c
+    all_v = [r.v for r in vals if r.v is not None]
+    q = hist(all_v) / len(all_v) + eps
+    for part in ("stable", "shifted"):
+        pv = [r.v for r in vals if r.part == part and r.v is not None]
+        p = hist(pv) / len(pv) + eps
+        expect = len(pv) * float(np.sum((p - q) ** 2 / q))
+        assert got[part] == pytest.approx(expect, rel=1e-9)
+    assert got["allnull"] == 0.0  # zero sample size -> zero statistic
+    # the drifted partition must alarm louder than the stable one even
+    # though it has half the sample size (q is the 2:1 mix of both, so
+    # the stable partition also deviates from it — just less per row)
+    assert got["shifted"] > got["stable"]
+
+
+def test_divergence_jsd_bounded_and_ordered(spark):
+    """JSD is in [0, ln 2] and ranks the shifted partition above stable."""
+    import math
+
+    from xmlschema_spark.operators import drift
+
+    df = _drift_df(spark)
+    got = {r.part: r.jsd for r in drift.divergence(df, "v", "part", metric="jsd").collect()}
+    for v in got.values():
+        assert -1e-12 <= v <= math.log(2) + 1e-9
+    assert got["shifted"] > got["stable"]
+
+
+def test_divergence_distributed_fallback_matches_driver_path(spark):
+    """max_collected_cells=0 forces the skeleton-join SQL plan; it must
+    reproduce the driver-numpy result for both metrics."""
+    from xmlschema_spark.operators import drift
+
+    df = _drift_df(spark)
+    for metric in ("chi2", "jsd"):
+        fast = {r.part: r[metric] for r in drift.divergence(df, "v", "part", metric=metric).collect()}
+        dist = {
+            r.part: r[metric]
+            for r in drift.divergence(df, "v", "part", metric=metric, max_collected_cells=0).collect()
+        }
+        assert set(fast) == set(dist)
+        for k in fast:
+            assert dist[k] == pytest.approx(fast[k], rel=1e-9, abs=1e-12), (metric, k)
+
+
+def test_divergence_rejects_unknown_metric(spark):
+    from xmlschema_spark.operators import drift
+
+    with pytest.raises(ValueError):
+        drift.divergence(spark.range(1), "id", "id", metric="tv")

@@ -145,6 +145,141 @@ def psi(
     )
 
 
+def divergence(
+    df: DataFrame,
+    column: str,
+    partition_col: str,
+    metric: str = "chi2",
+    bins: int = 10,
+    reference: DataFrame | None = None,
+    max_collected_cells: int = 200_000,
+) -> DataFrame:
+    """Histogram-divergence drift per partition vs reference
+    → (partition, <metric>). ``metric``:
+
+    - ``"chi2"`` — Pearson's chi-squared statistic
+      ``n_part · Σ_b (p_b − q_b)² / q_b`` (the classic homogeneity test
+      against the reference proportions; scales with partition size, so
+      it doubles as a sample-size-aware drift alarm).
+    - ``"jsd"`` — Jensen–Shannon divergence
+      ``½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)`` with ``m = (p+q)/2`` —
+      symmetric, bounded [0, ln 2], comparable across partitions of any
+      size.
+
+    Same smoothing convention as :func:`psi`: both histograms are laid on
+    the full ``bins`` grid and epsilon-shifted, so a bucket with mass on
+    only one side contributes a finite term. Same execution shape too:
+    ONE distributed (partition, bucket) count aggregation, metric
+    arithmetic driver-side in numpy on the tiny histogram, distributed
+    SQL fallback above ``max_collected_cells``. ``reference=None``
+    compares each partition against the whole table.
+    """
+    if metric not in ("chi2", "jsd"):
+        raise ValueError(f"unknown divergence metric {metric!r}")
+    ref = reference if reference is not None else df
+    lo, hi = df.agg(
+        F.min(column).cast("double"), F.max(column).cast("double")
+    ).first()
+    if lo is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{partition_col} string, {metric} double"
+        )
+
+    span = (hi - lo) or 1.0
+    bucket = F.when(
+        F.col(column).isNotNull(),
+        F.least(
+            F.greatest(F.floor((F.col(column) - F.lit(lo)) / F.lit(span) * bins), F.lit(0)),
+            F.lit(bins - 1),
+        ),
+    )  # NULL values → NULL bucket: keeps all-null partitions present
+    hist_rows = (
+        df.groupBy(F.col(partition_col).alias("__part"), bucket.alias("__bucket"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .limit(max_collected_cells + 1)
+        .collect()
+    )
+    if len(hist_rows) <= max_collected_cells:
+        ref_counts = np.zeros(bins)
+        if reference is not None:
+            for r in (
+                ref.select(column)
+                .filter(F.col(column).isNotNull())
+                .groupBy(bucket.alias("__bucket"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .collect()
+            ):
+                ref_counts[int(r["__bucket"])] += r["__n"]
+        parts: dict = {}
+        for r in hist_rows:
+            counts = parts.setdefault(r["__part"], np.zeros(bins))
+            if r["__bucket"] is not None:
+                counts[int(r["__bucket"])] += r["__n"]
+                if reference is None:
+                    ref_counts[int(r["__bucket"])] += r["__n"]
+        q = (ref_counts / max(ref_counts.sum(), 1)) + _EPS
+        out = []
+        for part, counts in parts.items():
+            n_part = counts.sum()
+            p = (counts / max(n_part, 1)) + _EPS
+            if metric == "chi2":
+                val = float(n_part * np.sum((p - q) ** 2 / q))
+            else:
+                m = (p + q) / 2.0
+                val = float(
+                    0.5 * np.sum(p * np.log(p / m)) + 0.5 * np.sum(q * np.log(q / m))
+                )
+            out.append((part, val))
+        return df.sparkSession.createDataFrame(
+            out, df.select(partition_col).schema.add(metric, "double")
+        )
+
+    # distributed fallback — the psi() skeleton-join shape plus a
+    # per-partition total for the chi2 sample-size factor
+    ref_hist = (
+        _bucketize(ref.select(column).filter(F.col(column).isNotNull()), column, lo, hi, bins)
+        .groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("ref_n"))
+    )
+    ref_total = ref_hist.agg(F.sum("ref_n").alias("__total"))
+    ref_hist = ref_hist.crossJoin(ref_total).withColumn(
+        "ref_p", F.col("ref_n") / F.col("__total")
+    )
+    part_hist = (
+        _bucketize(
+            df.select(partition_col, column).filter(F.col(column).isNotNull()),
+            column, lo, hi, bins,
+        )
+        .groupBy(partition_col, "__bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    part_hist = part_hist.withColumn(
+        "n_part", F.sum("n").over(Window.partitionBy(partition_col))
+    ).withColumn("p", F.col("n") / F.col("n_part"))
+    skeleton = (
+        df.select(partition_col)
+        .distinct()
+        .crossJoin(
+            df.sparkSession.range(bins).select(F.col("id").cast("long").alias("__bucket"))
+        )
+    )
+    joined = (
+        skeleton.join(part_hist, [partition_col, "__bucket"], "left")
+        .join(ref_hist.select("__bucket", "ref_p"), "__bucket", "left")
+    )
+    p = F.coalesce(F.col("p"), F.lit(0.0)) + F.lit(_EPS)
+    q = F.coalesce(F.col("ref_p"), F.lit(0.0)) + F.lit(_EPS)
+    n_part = F.coalesce(F.max("n_part"), F.lit(0))
+    if metric == "chi2":
+        agg = (n_part * F.sum((p - q) * (p - q) / q)).alias(metric)
+    else:
+        m = (p + q) / F.lit(2.0)
+        agg = (
+            F.lit(0.5) * F.sum(p * F.log(p / m)) + F.lit(0.5) * F.sum(q * F.log(q / m))
+        ).alias(metric)
+    return joined.groupBy(partition_col).agg(agg)
+
+
 def ks_exact(
     df: DataFrame,
     column: str,
