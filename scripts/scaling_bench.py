@@ -254,7 +254,12 @@ def measure_pair(
         "hw_mem_eff": hw_mem,
         "hw_kernel_eff": hw_kernel,
         "hw_rounds": ceilings,
-        "normalized_eff": round(eff / hw_kernel, 3) if hw_kernel else None,
+        # ceiling clamped at 1.0: a probe ratio above 1 means host capacity
+        # ROSE between the before/after ceiling measurements (shared-VM
+        # drift), not super-linear hardware — dividing by it would deflate
+        # the job's normalized figure by an artifact, so such a run gets no
+        # normalization credit (normalized == raw)
+        "normalized_eff": round(eff / min(hw_kernel, 1.0), 3) if hw_kernel else None,
         "lo_rounds": lo_runs,
         "hi_rounds": hi_runs,
     }
@@ -317,7 +322,7 @@ efficiency understates the job's own scaling:
 
 Efficiency = **{d_eff:.3f} raw** (median same-window pair
 {def_json['median_pair_eff']:.3f}; all pairs {def_json['pair_effs']});
-kernel ceiling around the same minutes {def_json['hw_kernel_eff']:.3f} ->
+kernel ceiling around the same minutes {def_json['hw_kernel_eff']:.3f}{" (above 1.0 = probe-window drift, clamped to 1.0: no normalization credit)" if def_json['hw_kernel_eff'] > 1.0 else ""} ->
 normalized **{def_json['normalized_eff']:.3f}**. Reported for
 transparency: deployments that only care about per-cluster throughput
 pick this; deployments sized by the scaling rule pick the primary.
@@ -342,7 +347,7 @@ is a conservative lower bound relative to a true {n_lo}-core cluster.
 
 Efficiency = **{s_eff:.3f}** raw (median of same-window sample pairs
 {sec_json['median_pair_eff']:.3f}); kernel ceiling around the same minutes
-{sec_json['hw_kernel_eff']:.3f} -> normalized **{sec_json['normalized_eff']:.3f}**.
+{sec_json['hw_kernel_eff']:.3f}{" (above 1.0 = probe-window drift, clamped to 1.0: no normalization credit)" if sec_json['hw_kernel_eff'] > 1.0 else ""} -> normalized **{sec_json['normalized_eff']:.3f}**.
 """
 
     over_md = ""
