@@ -30,14 +30,23 @@ from xmlschema_spark.rules import Rule, RuleSet
 from xmlschema_spark.sources.images import generate_images_df
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, parallel: bool = True) -> DataFrame:
     # the driver's sf* tables are single-row-group parquet files — an
     # unsplittable one-task scan; the guard repartitions those (and ONLY
     # those) so CPU-dense rule projections use every core. See
     # sources/scan.py; results are row-order-independent throughout.
+    #
+    # parallel=False opts a query out: the guard's round-robin Exchange
+    # materializes FULL-WIDTH rows, so for aggregation-only queries (the
+    # partial agg itself is the first row-shrinking step) and wide-text
+    # tables it costs more than the one-task scan it cures — A/B measured
+    # 2-4x regressions on the agg/dedup/drift queries vs 1.5-14x wins on
+    # regex-dense rule projections. Per-query choice, as a production user
+    # would make it; results are identical either way.
     from xmlschema_spark.sources.scan import ensure_scan_parallelism
 
-    return ensure_scan_parallelism(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return ensure_scan_parallelism(df) if parallel else df
 
 
 # --------------------------------------------------------------------------
@@ -127,35 +136,35 @@ def q_strict_mode_first_violation(spark, sf_dir):
 def q_unique_dups_part(spark, sf_dir):
     """xs:unique duplicate detection: one row per duplicated VALUE
     (identities.py:217-221 semantics)."""
-    df = _t(spark, sf_dir, "part")
+    df = _t(spark, sf_dir, "part", parallel=False)
     return id_ops.duplicate_values(df, ["p_brand", "p_size"])
 
 
 def q_unique_dups_scoped(spark, sf_dir):
     """Partition-scoped uniqueness (reference per-subtree scope analog)."""
-    df = _t(spark, sf_dir, "lineitem")
+    df = _t(spark, sf_dir, "lineitem", parallel=False)
     return id_ops.duplicate_values(df, ["l_orderkey"], scope_col="l_returnflag")
 
 
 def q_unique_dups_salted(spark, sf_dir):
     """Same result via the explicit two-phase salted aggregation (hot-key
     path for 10^12-row scale) — must agree exactly with the unsalted plan."""
-    df = _t(spark, sf_dir, "lineitem")
+    df = _t(spark, sf_dir, "lineitem", parallel=False)
     return id_ops.duplicate_values(df, ["l_orderkey"], salt_partitions=8)
 
 
 def q_keyref_orphans(spark, sf_dir):
     """xs:keyref referential integrity as a left-anti join: lineitem rows
     whose part is missing from a restricted part dimension."""
-    li = _t(spark, sf_dir, "lineitem")
-    pk = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 45)
+    li = _t(spark, sf_dir, "lineitem", parallel=False)
+    pk = _t(spark, sf_dir, "part", parallel=False).filter(F.col("p_size") <= 45)
     orphans = id_ops.keyref_orphans(li, ["l_partkey"], pk, ["p_partkey"], broadcast_pk=True)
     return orphans.select("l_orderkey", "l_linenumber", "l_partkey")
 
 
 def q_key_nulls_orders(spark, sf_dir):
     """xs:key required-field check (identities.py:140-141): null key fields."""
-    df = _t(spark, sf_dir, "orders").withColumn(
+    df = _t(spark, sf_dir, "orders", parallel=False).withColumn(
         "opri", F.expr("nullif(o_orderpriority, '1-URGENT')")
     )
     nulls = id_ops.key_null_rows(df, ["opri"], "o_orderkey")
@@ -167,7 +176,7 @@ def q_key_nulls_orders(spark, sf_dir):
 
 def q_stats_profile_customer(spark, sf_dir):
     """Single-pass per-column stats: count / nulls / min / max / distinct."""
-    df = _t(spark, sf_dir, "customer")
+    df = _t(spark, sf_dir, "customer", parallel=False)
     cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
     prof = stats_ops.profile(df, cols, exact_distinct=True)
     return prof.select(
@@ -185,7 +194,7 @@ def q_sketch_rollup_customer(spark, sf_dir):
     is EXACT, so the DuckDB count(DISTINCT) oracle applies verbatim —
     certifying sketch + union + estimate end to end, not just the
     trivially-mergeable sums."""
-    df = _t(spark, sf_dir, "customer")
+    df = _t(spark, sf_dir, "customer", parallel=False)
     sk = stats_ops.partition_sketches(
         df, ["c_nationkey", "c_mktsegment"], scope_col="c_mktsegment"
     )
@@ -198,7 +207,7 @@ def q_sketch_rollup_customer(spark, sf_dir):
 
 
 def q_histogram_mktsegment(spark, sf_dir):
-    df = _t(spark, sf_dir, "customer")
+    df = _t(spark, sf_dir, "customer", parallel=False)
     return stats_ops.value_histogram(df, "c_mktsegment")
 
 
@@ -206,7 +215,7 @@ def q_quantiles_customer(spark, sf_dir):
     """Single-agg quantile profile; exact interpolating percentile (the
     oracle path — matches ANSI/DuckDB quantile_cont; production default is
     the percentile_approx sketch)."""
-    df = _t(spark, sf_dir, "customer")
+    df = _t(spark, sf_dir, "customer", parallel=False)
     prof = stats_ops.quantiles(
         df, ["c_acctbal", "c_custkey"], probs=(0.25, 0.5, 0.75, 0.95), exact=True
     )
@@ -217,7 +226,7 @@ def q_quantiles_customer(spark, sf_dir):
 
 def q_psi_drift_events(spark, sf_dir):
     """PSI distribution drift of `value` per event_type vs whole table."""
-    df = _t(spark, sf_dir, "events")
+    df = _t(spark, sf_dir, "events", parallel=False)
     scores = drift_ops.psi(df, "value", "event_type", bins=10)
     return scores.select("event_type", F.round("psi", 3).alias("psi"))
 
@@ -230,7 +239,7 @@ def q_ks_drift_events(spark, sf_dir):
     1e-4), and drift.ks evaluates both ECDFs exactly at grid points — so
     the approx path reduces to the same integer-count divisions as
     drift.ks_exact and the oracle hash matches bit-for-bit."""
-    df = _t(spark, sf_dir, "events").withColumn(
+    df = _t(spark, sf_dir, "events", parallel=False).withColumn(
         "value_q", F.least(F.floor(F.col("value") / 10), F.lit(9)).cast("double")
     )
     scores = drift_ops.ks(df, "value_q", "event_type")
@@ -241,7 +250,7 @@ def q_ks_exact_events(spark, sf_dir):
     """Exact KS drift (pure Catalyst counts + window cumsums, no UDF) of
     `value` quantized at 0.1 resolution, per event_type vs whole table —
     DuckDB-oracle verifiable, unlike the approx-grid `ks` variant."""
-    df = _t(spark, sf_dir, "events")
+    df = _t(spark, sf_dir, "events", parallel=False)
     scores = drift_ops.ks_exact(df, "value", "event_type", quantize_scale=1)
     return scores.select("event_type", F.round("ks", 3).alias("ks"), "n")
 
@@ -250,7 +259,7 @@ def q_chi2_drift_events(spark, sf_dir):
     """Pearson chi-squared drift of `value` per event_type vs whole table
     (sample-size-aware homogeneity statistic; same single-aggregation
     histogram shape as PSI)."""
-    df = _t(spark, sf_dir, "events")
+    df = _t(spark, sf_dir, "events", parallel=False)
     scores = drift_ops.divergence(df, "value", "event_type", metric="chi2", bins=10)
     return scores.select("event_type", F.round("chi2", 3).alias("chi2"))
 
@@ -259,7 +268,7 @@ def q_jsd_drift_events(spark, sf_dir):
     """Jensen-Shannon divergence drift of `value` per event_type vs whole
     table (symmetric, bounded [0, ln 2] — comparable across partitions of
     any size, unlike chi2)."""
-    df = _t(spark, sf_dir, "events")
+    df = _t(spark, sf_dir, "events", parallel=False)
     scores = drift_ops.divergence(df, "value", "event_type", metric="jsd", bins=10)
     return scores.select("event_type", F.round("jsd", 6).alias("jsd"))
 
@@ -705,7 +714,7 @@ def q_dedup_keep_docs(spark, sf_dir):
     """Pipeline-facing dedup: keep the smallest doc_id per normalized
     content group (windowed row_number — no agg-buffer growth on
     boilerplate groups), drop the rest."""
-    df = _t(spark, sf_dir, "documents").withColumn("snippet", F.substring("text", 1, 30))
+    df = _t(spark, sf_dir, "documents", parallel=False).withColumn("snippet", F.substring("text", 1, 30))
     return dedup_ops.drop_exact_duplicates(df, "snippet", "doc_id").select("doc_id")
 
 
@@ -714,7 +723,7 @@ def q_exact_dedup_docs(spark, sf_dir):
     bounded plan (max_ids=100, windowed top-k — the 10^12-row-safe shape);
     min/max come from the exact fixed-buffer window aggregates, not the
     capped list, so the certified plan is the scale-safe one."""
-    df = _t(spark, sf_dir, "documents").withColumn("snippet", F.substring("text", 1, 30))
+    df = _t(spark, sf_dir, "documents", parallel=False).withColumn("snippet", F.substring("text", 1, 30))
     groups = dedup_ops.exact_duplicates(df, "snippet", "doc_id")
     return groups.select("content_hash", "n_docs", "min_doc_id", "max_doc_id")
 
@@ -790,7 +799,7 @@ def q_minhash_pairs_docs(spark, sf_dir):
 
 def q_simhash_dups_docs(spark, sf_dir):
     """SimHash near-dups via pigeonhole chunk blocking."""
-    df = _t(spark, sf_dir, "documents")
+    df = _t(spark, sf_dir, "documents", parallel=False)
     return dedup_ops.simhash_near_duplicates(df, "text", "doc_id", max_hamming=3)
 
 
@@ -826,7 +835,7 @@ def q_jaccard_pairs_docs(spark, sf_dir):
     """Exact n-gram Jaccard similarity via inverted-index join. k=4 with a
     tight posting cap: the synthetic corpus draws from a tiny vocabulary,
     so short shingles are near-universal and explode the candidate set."""
-    df = _t(spark, sf_dir, "documents")
+    df = _t(spark, sf_dir, "documents", parallel=False)
     pairs = dedup_ops.jaccard_pairs(
         df, "text", "doc_id", threshold=0.2, shingle_k=4, max_postings=200
     )
@@ -928,7 +937,7 @@ def q_image_features(spark, sf_dir):
 
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style wide aggregation (general agg capability check)."""
-    df = _t(spark, sf_dir, "lineitem")
+    df = _t(spark, sf_dir, "lineitem", parallel=False)
     return (
         df.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -943,8 +952,8 @@ def q_pricing_summary(spark, sf_dir):
 def q_top_orders_per_segment(spark, sf_dir):
     """Broadcast dim join + per-group top-k window (violation-sample
     pattern, SURVEY.md §2.7)."""
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders", parallel=False)
+    cust = _t(spark, sf_dir, "customer", parallel=False)
     joined = orders.join(
         F.broadcast(cust.select("c_custkey", "c_mktsegment")),
         orders.o_custkey == cust.c_custkey,
@@ -960,7 +969,7 @@ def q_top_orders_per_segment(spark, sf_dir):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full facet + identity validation of lineitem at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
-    df = _t(spark, sf_dir, "lineitem")
+    df = _t(spark, sf_dir, "lineitem", parallel=False)
     eng = ValidationEngine(_lineitem_rules(), id_col="l_orderkey", partition_col="l_returnflag")
     res = eng.validate(df, run_id="flagship", with_stats=False)
     return res.verdicts.select("partition_id", "status", "rows_checked", "violation_count")
