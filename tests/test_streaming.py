@@ -2,6 +2,8 @@
 
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from xmlschema_spark.engine import ValidationEngine
@@ -175,3 +177,54 @@ def test_windowed_psi_streaming(spark, tmp_path):
         assert abs(rows[0]["psi"] - want) < 1e-6
     finally:
         q.stop()
+
+
+def test_windowed_divergence_streaming(spark, tmp_path):
+    """chi2 + jsd streaming drift vs uniform reference, asserted against
+    the analytic all-mass-in-one-bucket values (same smoothing as the
+    batch operator)."""
+    import math
+
+    from xmlschema_spark.operators.drift import reference_histogram
+    from xmlschema_spark.streaming import windowed_divergence
+
+    ref = spark.range(10_000).select((F.col("id") % 100).cast("double").alias("v"))
+    reference = reference_histogram(ref, "v", bins=10)
+
+    src = str(tmp_path / "src_div")
+    spark.range(2_000).select(
+        F.timestamp_seconds(F.lit(1_699_999_980) + F.col("id") % 60).alias("ts"),
+        (95.0 + (F.col("id") % 5)).alias("v"),
+    ).write.parquet(src)
+
+    eps = 1e-6
+    p = [eps] * 9 + [1.0 + eps]
+    q = [0.1 + eps] * 10
+    want_chi2 = 2_000 * sum((pi - qi) ** 2 / qi for pi, qi in zip(p, q))
+    want_jsd = sum(
+        0.5 * pi * math.log(pi / ((pi + qi) / 2)) + 0.5 * qi * math.log(qi / ((pi + qi) / 2))
+        for pi, qi in zip(p, q)
+    )
+
+    for metric, want, rel in (("chi2", want_chi2, 1e-9), ("jsd", want_jsd, 1e-9)):
+        stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+        out = windowed_divergence(stream, "v", "ts", reference, metric=metric,
+                                  window_duration="1 minute")
+        q_ = (
+            out.writeStream.format("memory").queryName(f"div_{metric}")
+            .outputMode("complete").start()
+        )
+        try:
+            q_.processAllAvailable()
+            rows = spark.sql(f"select * from div_{metric}").collect()
+            assert len(rows) == 1 and rows[0]["n"] == 2_000
+            assert rows[0][metric] == pytest.approx(want, rel=rel)
+        finally:
+            q_.stop()
+
+
+def test_windowed_divergence_rejects_unknown_metric(spark):
+    from xmlschema_spark.streaming import windowed_divergence
+
+    with pytest.raises(ValueError):
+        windowed_divergence(None, "v", "ts", (0.0, 1.0, [0.5, 0.5]), metric="tv")
