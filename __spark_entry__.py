@@ -842,6 +842,31 @@ def q_jaccard_pairs_docs(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _jaccard_02_pairs(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents", parallel=False)
+    return dedup_ops.jaccard_pairs(
+        df, "text", "doc_id", threshold=0.2, shingle_k=4, max_postings=200
+    )
+
+
+def q_dedup_clusters_docs(spark, sf_dir):
+    """Near-dup clusters: connected components (min-label propagation,
+    dedup.connected_components) over the exact-jaccard candidate pairs.
+    The oracle replays the same pair generation and takes the transitive
+    closure with a recursive CTE, so every (node, component) assignment
+    is certified — pairs-to-clusters is the step that turns candidate
+    generators into a keep/drop decision."""
+    return dedup_ops.connected_components(_jaccard_02_pairs(spark, sf_dir))
+
+
+def q_near_dedup_keep_docs(spark, sf_dir):
+    """Corpus after near-dup removal: one representative (the cluster-min
+    doc_id) per jaccard cluster, docs in no candidate pair untouched."""
+    df = _t(spark, sf_dir, "documents", parallel=False)
+    pairs = _jaccard_02_pairs(spark, sf_dir)
+    return dedup_ops.drop_near_duplicates(df, pairs, "doc_id").select("doc_id")
+
+
 def q_cosine_topk_embeddings(spark, sf_dir):
     """Exact brute-force cosine top-k (ANN baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1029,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups_docs": q_simhash_dups_docs,
         "simhash_md5_dups_docs": q_simhash_md5_dups_docs,
         "jaccard_pairs_docs": q_jaccard_pairs_docs,
+        "dedup_clusters_docs": q_dedup_clusters_docs,
+        "near_dedup_keep_docs": q_near_dedup_keep_docs,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -1172,10 +1199,65 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 """
 
 
+_JACCARD_CC_PREFIX = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS doc,
+    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                x -> length(x) > 0) AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc,
+    CASE WHEN len(words) >= 4
+         THEN list_distinct(list_transform(generate_series(1, len(words) - 3),
+                                           i -> array_to_string(words[i:i+3], ' ')))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM toks
+),
+sizes AS (SELECT doc, len(shingles) AS n FROM sh),
+posts AS (SELECT doc, unnest(shingles) AS shingle FROM sh),
+capped AS (
+  SELECT * FROM posts WHERE shingle NOT IN (
+    SELECT shingle FROM posts GROUP BY shingle HAVING count(*) > 200
+  )
+),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*)::BIGINT AS i
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc = id_a
+  JOIN sizes sb ON sb.doc = id_b
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM edges e JOIN reach ON reach.node = e.u
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql = _oracle_sql_literals()
     sql["minhash_md5_pairs_docs"] = _minhash_md5_oracle()
     sql["simhash_md5_dups_docs"] = _simhash_md5_oracle()
+    # transitive closure of the jaccard candidate pairs via recursive CTE
+    # — certifies connected_components' min-label propagation exactly
+    sql["dedup_clusters_docs"] = (
+        _JACCARD_CC_PREFIX + "SELECT node, component FROM comp"
+    )
+    sql["near_dedup_keep_docs"] = _JACCARD_CC_PREFIX + (
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+        "(SELECT node FROM comp WHERE node <> component)"
+    )
     return sql
 
 

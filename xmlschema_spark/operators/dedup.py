@@ -458,3 +458,89 @@ def simhash_near_duplicates(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Group near-dup candidate PAIRS into duplicate clusters:
+    (node, component) for every id appearing in ``pairs``, where
+    ``component`` is the minimum id reachable through the pair graph —
+    i.e. the cluster's canonical representative. This is the step that
+    turns any candidate generator here (minhash/simhash/jaccard/embedding
+    pairs) into an actionable keep/drop decision; the reference's analog
+    is the ID/IDREF identity graph (identities.py:198-221) generalized
+    from exact keys to similarity edges.
+
+    Min-label propagation: each round every node adopts the smallest
+    label among itself and its neighbors — one join + one aggregation
+    (two shuffles) per round, converging in O(graph diameter) rounds.
+    That bound is what makes this safe at 10^12 docs: every candidate
+    generator upstream caps its blocks/buckets/postings, so components
+    are small and dense (diameter rarely exceeds a handful of hops) —
+    the pathological long-chain graphs that motivate large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    cannot be produced by the capped generators. ``max_iterations`` is a
+    hard stop regardless.
+
+    Per round the label table is ``localCheckpoint``-ed (eager): labels
+    feed the next round's join AND the convergence check, and without
+    truncation the lineage — and Catalyst planning time — grows per
+    round. Convergence = zero changed labels (labels only ever decrease,
+    so one ``limit(1)`` probe suffices). Only nodes present in ``pairs``
+    appear in the output; singletons are their own (absent) cluster."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(
+        F.col("u").alias("node"), F.col("u").alias("component")
+    ).distinct().localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        msgs = edges.join(
+            labels, edges["u"] == labels["node"]
+        ).select(F.col("v").alias("node"), "component")
+        new = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Keep one representative per near-dup cluster: rows of ``df`` whose
+    id is either in no candidate pair or is its cluster's minimum id.
+    The near-dup analog of :func:`drop_exact_duplicates` — composition:
+    candidate generator → :func:`connected_components` → left-anti join
+    (broadcast-friendly: the drop list is ``n_dup_docs - n_clusters``
+    rows of one id column, tiny relative to the corpus)."""
+    comps = connected_components(pairs, src, dst, max_iterations)
+    drop = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
