@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from xmlschema_spark.engine import ValidationEngine
+from xmlschema_spark.operators import curation as cur_ops
 from xmlschema_spark.operators import dedup as dedup_ops
 from xmlschema_spark.operators import drift as drift_ops
 from xmlschema_spark.operators import identity as id_ops
@@ -28,6 +29,13 @@ from xmlschema_spark.operators import stats as stats_ops
 from xmlschema_spark.operators import text as text_ops
 from xmlschema_spark.rules import Rule, RuleSet
 from xmlschema_spark.sources.images import generate_images_df
+
+
+# PII patterns shared verbatim with the DuckDB oracle (Java ∩ RE2 dialect,
+# defined once in operators/curation.py)
+_PII_EMAIL = cur_ops.PII_PATTERNS["email"]
+_PII_PHONE = cur_ops.PII_PATTERNS["phone"]
+_PII_IPV4 = cur_ops.PII_PATTERNS["ipv4"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str, parallel: bool = True) -> DataFrame:
@@ -991,6 +999,82 @@ def q_top_orders_per_segment(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# curation operators (sampling, PII, repetition, decontamination, sessions)
+# --------------------------------------------------------------------------
+
+def q_hash_sample_docs(spark, sf_dir):
+    """Deterministic Bernoulli sampling via md5 hex prefix — reproducible
+    in any engine, pure filter, no shuffle."""
+    df = _t(spark, sf_dir, "documents", parallel=False)
+    return cur_ops.hash_sample(df, "doc_id", 0.2, salt="s1").select("doc_id", "lang")
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Per-language quota sampling (the LLM data-mix balancing step):
+    20 docs per lang with the smallest deterministic hash."""
+    df = _t(spark, sf_dir, "documents", parallel=False)
+    return cur_ops.stratified_sample(df, "lang", 20, "doc_id").select("doc_id", "lang")
+
+
+def _synth_pii_text():
+    """Deterministic PII-bearing text derived from doc_id (the fixture
+    corpus carries none); the oracle mirrors the same derivation."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" Contact user"), d.cast("string"), F.lit("@example.com for details.")),
+        ).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(" Call +1 555-123-4567 now.")).otherwise(F.lit("")),
+        F.when(
+            d % 13 == 0,
+            F.concat(
+                F.lit(" Host 10.0."), (d % 256).cast("string"),
+                F.lit("."), (d % 200).cast("string"), F.lit(" up."),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_pii_docs(spark, sf_dir):
+    """PII detection + redaction over a deterministically PII-seeded
+    corpus: per-doc match counts, verdict, and redacted length."""
+    df = _t(spark, sf_dir, "documents").withColumn("text", _synth_pii_text())
+    feats = cur_ops.pii_features(df, "text", "doc_id")
+    red = cur_ops.redact_pii(df, "text").select(
+        "doc_id", F.length("redacted").alias("n_chars_redacted")
+    )
+    return feats.join(red, "doc_id")
+
+
+def q_repetition_docs(spark, sf_dir):
+    """Gopher-style repetition/boilerplate signals (dup-token, top-token,
+    dup-2gram ratios) via explode + two-level partial agg."""
+    df = _t(spark, sf_dir, "documents", parallel=False)
+    return cur_ops.repetition_features(df, "text", "doc_id")
+
+
+def q_decontam_docs(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing a word 5-shingle
+    with the (broadcast) eval split — eval = doc_id % 41 == 0. k=4 for the
+    tiny-vocabulary fixture corpus (5-shingles yield zero overlap there);
+    a natural-text corpus would use the GPT-3-style 8-13."""
+    df = _t(spark, sf_dir, "documents", parallel=False)
+    ev = df.filter(F.col("doc_id") % 41 == 0)
+    tr = df.filter(F.col("doc_id") % 41 != 0)
+    return cur_ops.contaminated_docs(tr, ev, "text", "doc_id", k=4)
+
+
+def q_sessions_events(spark, sf_dir):
+    """Gap-based sessionization of the events stream (30-min rule):
+    per-session event count, start, duration — one window + one reusing
+    agg per user."""
+    df = _t(spark, sf_dir, "events", parallel=False)
+    return cur_ops.session_stats(df, "user_id", "ts", 1800, tiebreak_col="event_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full facet + identity validation of lineitem at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1065,6 +1149,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_segment": q_top_orders_per_segment,
+        "hash_sample_docs": q_hash_sample_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "pii_docs": q_pii_docs,
+        "repetition_docs": q_repetition_docs,
+        "decontam_docs": q_decontam_docs,
+        "sessions_events": q_sessions_events,
     }
 
 
@@ -2138,5 +2228,128 @@ WITH ranked AS (
 SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
        CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 3
+""",
+        # md5 hex is lowercase in both engines; rate 0.2 of the 32-bit hex
+        # space = floor(0.2 * 2^32) = 858993459 = 0x33333333
+        "hash_sample_docs": """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('s1:' || doc_id), 1, 8) < '33333333'
+""",
+        "stratified_sample_docs": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5('strata:' || doc_id), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+""",
+        "pii_docs": f"""
+WITH seeded AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' Contact user' || doc_id || '@example.com for details.' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' Call +1 555-123-4567 now.' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' Host 10.0.' || (doc_id % 256) || '.' || (doc_id % 200) || ' up.'
+            ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{_PII_EMAIL}'))::INTEGER AS n_email,
+  len(regexp_extract_all(t, '{_PII_PHONE}'))::INTEGER AS n_phone,
+  len(regexp_extract_all(t, '{_PII_IPV4}'))::INTEGER AS n_ipv4,
+  (len(regexp_extract_all(t, '{_PII_EMAIL}'))
+   + len(regexp_extract_all(t, '{_PII_PHONE}'))
+   + len(regexp_extract_all(t, '{_PII_IPV4}'))) > 0 AS has_pii,
+  length(regexp_replace(regexp_replace(regexp_replace(t,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g'),
+      '{_PII_IPV4}', '<IPV4>', 'g')) AS n_chars_redacted
+FROM seeded
+""",
+        "repetition_docs": """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}'']+'),
+                x -> length(x) > 0) AS w
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS g FROM toks) GROUP BY doc_id, g
+),
+u AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct_tokens,
+         max(c) AS top
+  FROM uni GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i + 1])) AS g
+        FROM toks WHERE len(w) >= 2) GROUP BY doc_id, g
+),
+b AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_2grams, count(*)::BIGINT AS n_distinct_2grams
+  FROM big GROUP BY doc_id
+)
+SELECT u.doc_id, n_tokens, n_distinct_tokens,
+  round(1 - n_distinct_tokens * 1.0 / greatest(n_tokens, 1), 6)::DOUBLE AS dup_token_ratio,
+  round(top * 1.0 / greatest(n_tokens, 1), 6)::DOUBLE AS top_token_ratio,
+  coalesce(n_2grams, 0) AS n_2grams,
+  CASE WHEN coalesce(n_2grams, 0) = 0 THEN 0.0
+       ELSE round(1 - coalesce(n_distinct_2grams, 0) * 1.0
+                      / greatest(coalesce(n_2grams, 0), 1), 6)
+  END::DOUBLE AS dup_2gram_ratio
+FROM u LEFT JOIN b ON u.doc_id = b.doc_id
+""",
+        "decontam_docs": """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                x -> length(x) > 0) AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 4
+         THEN list_distinct(list_transform(generate_series(1, len(words) - 3),
+                                           i -> array_to_string(words[i:i+3], ' ')))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM toks
+),
+ev AS (
+  SELECT DISTINCT md5(s) AS h
+  FROM (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 41 = 0)
+),
+tr AS (
+  SELECT doc_id, md5(s) AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 41 <> 0)
+)
+SELECT tr.doc_id, count(*)::BIGINT AS n_hit_shingles
+FROM tr JOIN ev ON tr.h = ev.h
+GROUP BY tr.doc_id
+""",
+        "sessions_events": """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+  FROM e
+)
+SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000)::BIGINT AS duration_sec
+FROM s GROUP BY user_id, session_idx
 """,
     }

@@ -1,0 +1,176 @@
+"""Curation operators: deterministic sampling, PII, repetition signals,
+decontamination, sessionization (operators/curation.py)."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschema_spark.operators import curation as cur
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the cat sat on the mat", "en"),  # exact dup of 1
+        (3, "a a a a a a a a", "en"),  # maximally repetitive
+        (4, "eins zwei drei vier fünf sechs", "de"),
+        (5, "un deux trois quatre cinq six", "fr"),
+        (6, "every word here is totally unique indeed", "en"),
+        (7, None, "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ---------------------------------------------------------------------- sampling
+
+def test_hash_sample_deterministic_and_sized(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = cur.hash_sample(df, "doc_id", 0.25, salt="x")
+    b = cur.hash_sample(df, "doc_id", 0.25, salt="x")
+    ids_a = sorted(r.doc_id for r in a.collect())
+    assert ids_a == sorted(r.doc_id for r in b.collect())  # reproducible
+    assert 0.18 < len(ids_a) / 2000 < 0.32  # ~rate
+    # different salt draws a (near-)independent sample
+    c = set(r.doc_id for r in cur.hash_sample(df, "doc_id", 0.25, salt="y").collect())
+    assert set(ids_a) != c
+
+
+def test_hash_sample_rate_monotone_nesting(spark):
+    # threshold-on-hash sampling nests: the 10% sample is a subset of 20%
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s10 = set(r.doc_id for r in cur.hash_sample(df, "doc_id", 0.1).collect())
+    s20 = set(r.doc_id for r in cur.hash_sample(df, "doc_id", 0.2).collect())
+    assert s10 <= s20
+
+
+def test_hash_sample_bad_rate(spark):
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        cur.hash_sample(df, "doc_id", 1.5)
+
+
+def test_stratified_sample_quota(spark, docs):
+    out = cur.stratified_sample(docs, "lang", 2, "doc_id").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert all(len(v) <= 2 for v in by_lang.values())
+    assert len(by_lang["en"]) == 2  # en has 5 docs -> exactly the quota
+    assert by_lang["de"] == [4] and by_lang["fr"] == [5]
+
+
+# ---------------------------------------------------------------------- PII
+
+def test_pii_features_counts(spark):
+    rows = [
+        (1, "mail me at a.b+c@example.co.uk or boss@corp.io"),
+        (2, "call +1 555-123-4567 today"),
+        (3, "server 10.0.42.7 and backup 192.168.0.1"),
+        (4, "no pii here"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in cur.pii_features(df, "text", "id").collect()}
+    assert (got[1].n_email, got[1].has_pii) == (2, True)
+    assert (got[2].n_phone, got[2].has_pii) == (1, True)
+    assert (got[3].n_ipv4, got[3].has_pii) == (2, True)
+    assert got[4] .has_pii is False
+    assert got[5].has_pii is False and got[5].n_email == 0
+
+
+def test_redact_pii_replaces_all(spark):
+    df = spark.createDataFrame(
+        [(1, "x a@b.io y 10.0.0.1 z +1 555-123-4567 w")], "id long, text string"
+    )
+    out = cur.redact_pii(df, "text").collect()[0].redacted
+    assert out == "x <EMAIL> y <IPV4> z <PHONE> w"
+
+
+# ---------------------------------------------------------------------- repetition
+
+def test_repetition_features_known_ratios(spark, docs):
+    got = {r.doc_id: r for r in cur.repetition_features(docs, "text", "doc_id").collect()}
+    # doc 3: 8x 'a' -> 1 distinct token, 7 identical 2-grams
+    assert got[3].n_tokens == 8 and got[3].n_distinct_tokens == 1
+    assert got[3].dup_token_ratio == pytest.approx(1 - 1 / 8)
+    assert got[3].top_token_ratio == 1.0
+    assert got[3].n_2grams == 7 and got[3].dup_2gram_ratio == pytest.approx(1 - 1 / 7)
+    # doc 6: all unique
+    assert got[6].dup_token_ratio == 0.0 and got[6].dup_2gram_ratio == 0.0
+    assert got[6].top_token_ratio == pytest.approx(1 / 7)
+    # doc 1: 'the' twice in 6 tokens
+    assert got[1].n_tokens == 6 and got[1].n_distinct_tokens == 5
+    assert got[1].top_token_ratio == pytest.approx(2 / 6)
+    # null text produces no token rows at all
+    assert 7 not in got
+
+
+def test_repetition_single_token_doc(spark):
+    df = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+    r = cur.repetition_features(df, "text", "doc_id").collect()[0]
+    assert r.n_tokens == 1 and r.n_2grams == 0 and r.dup_2gram_ratio == 0.0
+
+
+# ---------------------------------------------------------------------- decontamination
+
+def test_contaminated_docs_and_drop(spark):
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta suffix"),  # shares 'alpha beta gamma delta'
+            (2, "beta gamma delta epsilon tail"),  # shares 'beta gamma delta epsilon'
+            (3, "nothing in common at all here"),
+            (4, "alpha beta gamma delta epsilon"),  # identical -> 2 shared 4-shingles
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_hit_shingles for r in
+            cur.contaminated_docs(tr, ev, "text", "doc_id", k=4).collect()}
+    assert hits == {1: 1, 2: 1, 4: 2}
+    kept = sorted(r.doc_id for r in
+                  cur.drop_contaminated(tr, ev, "text", "doc_id", k=4).collect())
+    assert kept == [3]
+
+
+# ---------------------------------------------------------------------- sessions
+
+def test_sessionize_gap_rule(spark):
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two events 10 min apart, then a 31-min gap -> 2 sessions
+        (1, t0, 1),
+        (1, t0 + timedelta(minutes=10), 2),
+        (1, t0 + timedelta(minutes=41, seconds=1), 3),
+        # user 2: single event
+        (2, t0, 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = cur.session_stats(df, "user_id", "ts", gap_sec=1800, tiebreak_col="event_id")
+    got = {(r.user_id, r.session_idx): r for r in out.collect()}
+    assert got[(1, 1)].n_events == 2 and got[(1, 1)].duration_sec == 600
+    assert got[(1, 2)].n_events == 1 and got[(1, 2)].duration_sec == 0
+    assert got[(2, 1)].n_events == 1
+    assert got[(1, 1)].session_start == "2024-01-01 12:00:00"
+
+
+def test_sessionize_subsecond_boundary(spark):
+    # gap of exactly 1800.000001 s splits; exactly 1800.0 s does not —
+    # the µs-exact arithmetic is what makes this deterministic
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, t0, 1),
+            (1, t0 + timedelta(seconds=1800), 2),
+            (2, t0, 3),
+            (2, t0 + timedelta(seconds=1800, microseconds=1), 4),
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    s = cur.sessionize(df, "user_id", "ts", 1800, "event_id")
+    got = {r.event_id: r.session_idx for r in s.collect()}
+    assert got[1] == 1 and got[2] == 1  # exactly at the gap: same session
+    assert got[3] == 1 and got[4] == 2  # 1 µs beyond: new session

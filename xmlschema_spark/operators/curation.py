@@ -1,0 +1,313 @@
+"""Dataset-curation operators for large-scale training-data pipelines:
+deterministic sampling, stratified quota sampling, PII detection and
+redaction, repetition/boilerplate quality signals (the Gopher-style
+rules), benchmark decontamination, and event sessionization.
+
+No direct reference analog — these generalize the reference's
+document-level validation stance (xmlschema validators emit per-document
+verdicts, validators.py) to corpus-level curation decisions. Everything
+here is pure Spark SQL expressions (whole-stage codegen, no Python in the
+hot path) and every operator is shuffle-conscious:
+
+- sampling is a stateless filter on a deterministic hash — no shuffle at
+  all, reproducible across runs/engines (md5, not rand()).
+- stratified sampling is ONE hash-partition window per stratum —
+  sort-based, spill-safe; at 10^12 rows a hot stratum ("en") makes a big
+  partition, so callers quota-sample AFTER a cheap hash_sample pre-cut
+  (documented below) or bucket by (stratum, salt).
+- repetition features explode tokens but partial-aggregate on
+  (doc, token) BEFORE the shuffle: the exchange carries at most the
+  per-doc distinct-token counts, not the raw token stream.
+- decontamination broadcasts the (small) benchmark shingle set — the
+  10^12-row training side never shuffles.
+- sessionization is ONE window per user; hot users are a documented
+  pre-partitioning concern (split by (user, day) upstream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from xmlschema_spark.operators.dedup import shingles
+from xmlschema_spark.operators.text import tokens
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+_HEX_DIGITS = 8  # compare the first 8 md5 hex chars: 32-bit resolution
+
+
+def sample_hash(col, salt: str = "sample"):
+    """The deterministic sample key: md5 hex of ``salt:value``. Lowercase
+    hex in both Spark and DuckDB/Trino/Presto, so a sample drawn here is
+    reproducible by ANY engine — unlike ``rand()``, which is seed- and
+    partitioning-dependent."""
+    return F.md5(F.concat(F.lit(salt + ":"), col.cast("string")))
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float, salt: str = "sample") -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose md5(salt:id) hex
+    prefix falls below ``rate`` of the 32-bit hex space. A pure filter —
+    NO shuffle, NO state — so it composes with any scan and pushes work
+    to zero for the dropped rows. Changing ``salt`` draws an independent
+    sample; the same (salt, rate) always selects the same rows, which is
+    what makes held-out splits and ablation re-runs reproducible at
+    10^12 rows."""
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    threshold = format(int(rate * (1 << (4 * _HEX_DIGITS))), f"0{_HEX_DIGITS}x")
+    return df.filter(
+        F.substring(sample_hash(F.col(id_col), salt), 1, _HEX_DIGITS) < F.lit(threshold)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str,
+    salt: str = "strata",
+) -> DataFrame:
+    """Quota sampling: the ``n_per_stratum`` rows with the smallest
+    deterministic hash per stratum — the standard language/source
+    balancing step of an LLM data mix. ONE hash-partition window
+    (sort-based, spill-safe), deterministic across engines.
+
+    Scale note: a hot stratum is one window partition; at extreme sizes
+    pre-cut with :func:`hash_sample` at a rate that leaves ~10x the quota,
+    then quota-sample the survivors — the pre-cut is shuffle-free so the
+    combined cost is one small window."""
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_hash(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# deliberately restricted to the regex dialect subset shared by Java
+# (Spark codegen) and RE2 (DuckDB/Go tooling): no backrefs, no lookaround,
+# so the SAME pattern string validates and redacts in every engine.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+}
+
+
+def pii_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc PII match counts + a has_pii verdict. Row-local regex
+    counting (``regexp_count`` — JVM codegen), no shuffle; fuses into the
+    same wide pass as the facet rules, exactly like the reference fuses
+    its pattern facets into one validator walk (facets.py pattern
+    handling)."""
+    c = F.col(text_col)
+    cols = [F.col(id_col)]
+    total = F.lit(0)
+    for name, pat in PII_PATTERNS.items():
+        cnt = F.when(c.isNull(), F.lit(0)).otherwise(F.regexp_count(c, F.lit(pat)))
+        cols.append(cnt.alias(f"n_{name}"))
+        total = total + cnt
+    cols.append((total > 0).alias("has_pii"))
+    return df.select(*cols)
+
+
+def redact_pii(df: DataFrame, text_col: str, out_col: str = "redacted") -> DataFrame:
+    """Replace every PII match with a typed placeholder (``<EMAIL>``
+    etc.) — the standard pre-training scrub. Pure regexp_replace chain,
+    whole-stage codegen, no shuffle. Longest-pattern-first order is
+    irrelevant here because the three pattern families can't overlap."""
+    out = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return df.withColumn(out_col, out)
+
+
+# ---------------------------------------------------------------------------
+# repetition / boilerplate quality signals
+# ---------------------------------------------------------------------------
+
+def repetition_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals per doc:
+
+    - ``dup_token_ratio``   = 1 - distinct_tokens / n_tokens
+    - ``top_token_ratio``   = most_frequent_token_count / n_tokens
+    - ``dup_2gram_ratio``   = 1 - distinct_2grams / n_2grams
+
+    Plan shape: explode tokens (and 2-grams), partial-aggregate on
+    (doc, gram) map-side — the exchange carries per-doc DISTINCT gram
+    counts, not the raw token stream — then one final per-doc agg. Both
+    gram lengths run the same two-level agg and meet in a per-doc join
+    that AQE plans as a local join of two small keyed sides. Linear in
+    corpus size, no O(len²) per-row array scans (an
+    ``array_max(transform(...count...))`` form would be quadratic per
+    doc and dies on long documents)."""
+    tok = df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks"))
+    uni = (
+        tok.select("__id", F.explode("__toks").alias("__g"))
+        .groupBy("__id", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__id")
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max("__c").alias("__top"),
+        )
+    )
+    n2 = F.size(F.col("__toks")) - 1
+    grams2 = F.when(
+        n2 >= 1,
+        F.zip_with(
+            F.slice(F.col("__toks"), F.lit(1), n2),
+            F.slice(F.col("__toks"), F.lit(2), n2),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        tok.select("__id", F.explode(grams2).alias("__g"))
+        .groupBy("__id", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__id")
+        .agg(F.sum("__c").alias("n_2grams"), F.count(F.lit(1)).alias("n_distinct_2grams"))
+    )
+    safe_t = F.greatest(F.col("n_tokens"), F.lit(1))
+    safe_b = F.greatest(F.coalesce(F.col("n_2grams"), F.lit(0)), F.lit(1))
+    return (
+        uni.join(bi, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "n_distinct_tokens",
+            F.round(1 - F.col("n_distinct_tokens") / safe_t, 6).alias("dup_token_ratio"),
+            F.round(F.col("__top") / safe_t, 6).alias("top_token_ratio"),
+            F.coalesce(F.col("n_2grams"), F.lit(0)).alias("n_2grams"),
+            F.when(F.coalesce(F.col("n_2grams"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(1 - F.coalesce(F.col("n_distinct_2grams"), F.lit(0)) / safe_b, 6)
+            )
+            .alias("dup_2gram_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def contaminated_docs(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >= 1 word
+    ``k``-shingle with the evaluation set (the GPT-3/PaLM n-gram-overlap
+    rule). Returns (id, n_hit_shingles) per contaminated doc.
+
+    Plan shape for 10^12 training rows: the eval side — benchmarks are
+    thousands of docs, not billions — collapses to DISTINCT shingle
+    hashes and is broadcast; the training side explodes shingles and
+    probes the broadcast hash map (BroadcastHashJoin, inner), then one
+    partial-agg count per doc. The training corpus is never shuffled
+    full-width; only (id, count) pairs reach the exchange. Hashes are
+    md5 so the check is engine-portable."""
+    ev = (
+        eval_df.select(F.explode(shingles(F.col(text_col), k)).alias("__s"))
+        .select(F.md5("__s").alias("__h"))
+        .distinct()
+    )
+    tr = train_df.select(
+        F.col(id_col).alias("__id"), F.explode(shingles(F.col(text_col), k)).alias("__s")
+    ).select("__id", F.md5("__s").alias("__h"))
+    return (
+        tr.join(F.broadcast(ev), "__h")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+        .select(F.col("__id").alias(id_col), "n_hit_shingles")
+    )
+
+
+def drop_contaminated(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """The pipeline-facing form: training rows with every eval
+    ``k``-shingle removed — a broadcast left-anti join against
+    :func:`contaminated_docs`' id set, original schema preserved."""
+    bad = contaminated_docs(train_df, eval_df, text_col, id_col, k).select(id_col)
+    return train_df.join(F.broadcast(bad), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# event sessionization
+# ---------------------------------------------------------------------------
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_sec: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Assign a per-user session index: a new session starts whenever the
+    gap since the user's previous event exceeds ``gap_sec`` (the classic
+    30-minute web-session rule; also the batch analog of Structured
+    Streaming's ``session_window``). Adds ``session_idx`` (1-based per
+    user).
+
+    ONE window per user (lag + running sum share the same sort), so one
+    shuffle on ``user_col``. Hot-user skew is real at 10^12 events —
+    window partitions can't be salted without breaking the running sum —
+    so production pre-partitions the table by (user, day) and
+    sessionizes within day, stitching boundary sessions in a second tiny
+    pass; at fixture scale the single window is exact and cheapest."""
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    # microsecond-exact gap arithmetic: second-floored timestamps
+    # (unix_timestamp) mis-place events whose true gap straddles the
+    # threshold by < 1 s, and different engines round vs floor — exact
+    # integer µs removes the ambiguity entirely. The cast lifts
+    # TIMESTAMP_NTZ (how pandas-written parquet reads) to TIMESTAMP under
+    # the session tz (UTC) — a no-op for TIMESTAMP columns.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull() | ((us - prev) > gap_sec * 1_000_000), 1).otherwise(0)
+    return df.withColumn(
+        "session_idx",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_sec: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`: event count, start,
+    duration. The groupBy reuses the window's hash partitioning on
+    ``user_col`` (no second full exchange under AQE)."""
+    s = sessionize(df, user_col, ts_col, gap_sec, tiebreak_col)
+    dur_us = F.unix_micros(F.max(ts_col).cast("timestamp")) - F.unix_micros(
+        F.min(ts_col).cast("timestamp")
+    )
+    return s.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.floor(dur_us / 1_000_000).alias("duration_sec"),
+    )
