@@ -1040,13 +1040,10 @@ def _synth_pii_text():
 
 def q_pii_docs(spark, sf_dir):
     """PII detection + redaction over a deterministically PII-seeded
-    corpus: per-doc match counts, verdict, and redacted length."""
+    corpus: per-doc match counts, verdict, and redacted length — ONE
+    projection, one scan, no join."""
     df = _t(spark, sf_dir, "documents").withColumn("text", _synth_pii_text())
-    feats = cur_ops.pii_features(df, "text", "doc_id")
-    red = cur_ops.redact_pii(df, "text").select(
-        "doc_id", F.length("redacted").alias("n_chars_redacted")
-    )
-    return feats.join(red, "doc_id")
+    return cur_ops.pii_features(df, "text", "doc_id", with_redacted_len=True)
 
 
 def q_repetition_docs(spark, sf_dir):

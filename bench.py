@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "duration_events",            # duration lexical + interval range facets
     "pricing_summary",            # general wide aggregation
     "top_orders_per_segment",     # broadcast join + top-k window
+    "repetition_docs",            # explode + two-level partial agg (Gopher rules)
+    "pii_docs",                   # regex detect + redact, codegen-only
+    "decontam_docs",              # broadcast eval-shingle contamination join
+    "sessions_events",            # per-user gap sessionization window
 ]
 
 # sized so the timed suite runs for several seconds after the Arrow-native

@@ -103,12 +103,16 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
-def pii_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def pii_features(
+    df: DataFrame, text_col: str, id_col: str, with_redacted_len: bool = False
+) -> DataFrame:
     """Per-doc PII match counts + a has_pii verdict. Row-local regex
     counting (``regexp_count`` — JVM codegen), no shuffle; fuses into the
     same wide pass as the facet rules, exactly like the reference fuses
     its pattern facets into one validator walk (facets.py pattern
-    handling)."""
+    handling). ``with_redacted_len=True`` adds ``n_chars_redacted`` in
+    the SAME projection — one scan instead of a detect-branch +
+    redact-branch join."""
     c = F.col(text_col)
     cols = [F.col(id_col)]
     total = F.lit(0)
@@ -117,6 +121,11 @@ def pii_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         cols.append(cnt.alias(f"n_{name}"))
         total = total + cnt
     cols.append((total > 0).alias("has_pii"))
+    if with_redacted_len:
+        red = c
+        for name, pat in PII_PATTERNS.items():
+            red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+        cols.append(F.length(red).alias("n_chars_redacted"))
     return df.select(*cols)
 
 
