@@ -1072,6 +1072,47 @@ def q_sessions_events(spark, sf_dir):
     return cur_ops.session_stats(df, "user_id", "ts", 1800, tiebreak_col="event_id")
 
 
+def q_heavy_hitters_events(spark, sf_dir):
+    """Skew detection driving the salting decision: users holding >=0.8%
+    of the event stream, with the salt factor (ceil(n/25)) the salted
+    two-phase uniqueness agg would use for each. One partial-agg count
+    per key + a broadcast single-row total — no window-over-everything."""
+    df = _t(spark, sf_dir, "events", parallel=False)
+    return stats_ops.heavy_hitters(df, "user_id", min_share=0.008, rows_per_bucket=25)
+
+
+def q_domain_cap_docs(spark, sf_dir):
+    """Quality-aware domain capping: at most 15 docs per source, keeping
+    the longest (n_chars desc) — no single domain dominates the mix."""
+    df = _t(spark, sf_dir, "documents", parallel=False)
+    return cur_ops.cap_per_group(
+        df, "source", 15, "doc_id", score_col="n_chars"
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_novel_docs_batch(spark, sf_dir):
+    """Incremental-ingest dedup: batch docs (doc_id % 3 != 0) whose
+    normalized content hash is absent from the historical corpus
+    (doc_id % 3 == 0) — anti-join against the corpus's DISTINCT digest."""
+    df = _t(spark, sf_dir, "documents", parallel=False)
+    corpus = df.filter(F.col("doc_id") % 3 == 0)
+    batch = df.filter(F.col("doc_id") % 3 != 0)
+    return cur_ops.novel_docs(batch, corpus, "text", "doc_id").select("doc_id", "lang")
+
+
+def q_token_budget_docs(spark, sf_dir):
+    """Token-budget mixture fill: each language bucket greedily filled in
+    deterministic hash order until 2000 tokens — the "N tokens per
+    bucket" form a real training mix is specified in."""
+    df = _t(spark, sf_dir, "documents", parallel=False)
+    out = cur_ops.token_budget_sample(df, "lang", 2000, "doc_id", "text")
+    return out.select(
+        "doc_id", "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_before").cast("long").alias("cum_before"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full facet + identity validation of lineitem at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1152,6 +1193,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,
         "decontam_docs": q_decontam_docs,
         "sessions_events": q_sessions_events,
+        "heavy_hitters_events": q_heavy_hitters_events,
+        "domain_cap_docs": q_domain_cap_docs,
+        "novel_docs_batch": q_novel_docs_batch,
+        "token_budget_docs": q_token_budget_docs,
     }
 
 
@@ -2348,5 +2393,49 @@ SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
   ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000)::BIGINT AS duration_sec
 FROM s GROUP BY user_id, session_idx
+""",
+        "heavy_hitters_events": """
+WITH c AS (SELECT user_id, count(*)::BIGINT AS n_rows FROM events GROUP BY user_id),
+t AS (SELECT sum(n_rows) AS total FROM c)
+SELECT user_id, n_rows,
+  round(n_rows * 1.0 / total, 6)::DOUBLE AS share,
+  CAST(greatest(1, ceil(n_rows * 1.0 / 25)) AS BIGINT) AS salt_buckets
+FROM c, t WHERE n_rows * 1.0 / total >= 0.008
+""",
+        "domain_cap_docs": """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 15
+""",
+        # NOT EXISTS (not NOT IN): a NULL batch hash must be KEPT, matching
+        # Spark's left_anti null-never-matches semantics
+        "novel_docs_batch": """
+WITH h AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS hh
+  FROM documents
+)
+SELECT b.doc_id, b.lang FROM h b
+WHERE b.doc_id % 3 <> 0
+  AND NOT EXISTS (SELECT 1 FROM h c WHERE c.doc_id % 3 = 0 AND c.hh = b.hh)
+""",
+        "token_budget_docs": """
+WITH n AS (
+  SELECT doc_id, lang,
+    len(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}'']+'),
+                    x -> length(x) > 0))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+    coalesce(sum(n_tokens) OVER (
+      PARTITION BY lang ORDER BY md5('budget:' || doc_id), doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+  FROM n
+)
+SELECT doc_id, lang, n_tokens, cum_before FROM c WHERE cum_before < 2000
 """,
     }

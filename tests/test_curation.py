@@ -174,3 +174,107 @@ def test_sessionize_subsecond_boundary(spark):
     got = {r.event_id: r.session_idx for r in s.collect()}
     assert got[1] == 1 and got[2] == 1  # exactly at the gap: same session
     assert got[3] == 1 and got[4] == 2  # 1 µs beyond: new session
+
+
+# ------------------------------------------------------------- domain capping
+
+def test_cap_per_group_score_order(spark):
+    rows = [(i, "t", "web" if i < 6 else "wiki", float(i)) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, score double")
+    out = cur.cap_per_group(df, "source", 2, "doc_id", score_col="score")
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # quality-aware: the TOP-scoring rows survive, groups under the cap untouched
+    assert sorted(by_src["web"]) == [4, 5]
+    assert sorted(by_src["wiki"]) == [7, 8]
+
+
+def test_cap_per_group_hash_order_deterministic(spark):
+    df = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source")
+    )
+    a = sorted(r.doc_id for r in cur.cap_per_group(df, "source", 10, "doc_id").collect())
+    b = sorted(r.doc_id for r in cur.cap_per_group(df, "source", 10, "doc_id").collect())
+    assert a == b and len(a) == 10
+    # different salt -> different uniform pick
+    c = sorted(
+        r.doc_id
+        for r in cur.cap_per_group(df, "source", 10, "doc_id", salt="other").collect()
+    )
+    assert a != c
+
+
+def test_cap_per_group_bad_params(spark):
+    df = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        cur.cap_per_group(df, "source", 0, "doc_id")
+
+
+# -------------------------------------------------------- incremental dedup
+
+def test_novel_docs_drops_corpus_content(spark):
+    corpus = spark.createDataFrame(
+        [(1, "The CAT  sat"), (2, "unique corpus doc")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the cat sat"),        # dup of corpus 1 after normalization
+            (11, "brand new content"),  # novel
+            (12, "brand new content"),  # in-batch dup: still novel vs corpus
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(r.doc_id for r in cur.novel_docs(batch, corpus, "text", "doc_id").collect())
+    assert out == [11, 12]
+
+
+def test_novel_docs_empty_corpus_keeps_all(spark):
+    corpus = spark.createDataFrame([], "doc_id long, text string")
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    assert cur.novel_docs(batch, corpus, "text", "doc_id").count() == 2
+    # schema passes through unchanged
+    assert cur.novel_docs(batch, corpus, "text", "doc_id").columns == ["doc_id", "text"]
+
+
+# --------------------------------------------------- token-budget sampling
+
+def test_token_budget_keeps_until_budget(spark):
+    # one bucket; hash order is deterministic -> replay it to predict keeps
+    df = spark.createDataFrame(
+        [(i, "w " * 10, "en") for i in range(10)],  # 10 tokens each
+        "doc_id long, text string, lang string",
+    )
+    out = cur.token_budget_sample(df, "lang", 35, "doc_id", "text").collect()
+    # keep while cum_before < 35 -> docs at cum 0,10,20,30 = 4 docs
+    assert len(out) == 4
+    assert sorted(r.cum_before for r in out) == [0, 10, 20, 30]
+    assert all(r.n_tokens == 10 for r in out)
+
+
+def test_token_budget_first_doc_always_kept(spark):
+    df = spark.createDataFrame(
+        [(1, "a " * 500, "en")], "doc_id long, text string, lang string"
+    )
+    out = cur.token_budget_sample(df, "lang", 10, "doc_id", "text").collect()
+    assert len(out) == 1 and out[0].cum_before == 0
+
+
+def test_token_budget_per_bucket_independent(spark):
+    df = spark.createDataFrame(
+        [(i, "x y z", ["en", "de"][i % 2]) for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    out = cur.token_budget_sample(df, "lang", 7, "doc_id", "text").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    # 3 tokens/doc, budget 7 -> cum_before 0,3,6 kept = 3 docs per bucket
+    assert {k: len(v) for k, v in by_lang.items()} == {"en": 3, "de": 3}
+
+
+def test_token_budget_bad_budget(spark):
+    df = spark.createDataFrame([(1, "a", "en")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError):
+        cur.token_budget_sample(df, "lang", 0, "doc_id", "text")

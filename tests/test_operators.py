@@ -373,3 +373,35 @@ def test_profile_string_minmax_prefix_mode(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         stats.profile(df, ["s"], string_minmax="nope")
+
+
+# ------------------------------------------------------------------ skew detection
+
+def test_heavy_hitters_shares_and_salts(spark):
+    from xmlschema_spark.operators import stats
+    # 80 'hot' rows, 15 'warm', 5 'cold' -> shares 0.8 / 0.15 / 0.05
+    rows = [("hot",)] * 80 + [("warm",)] * 15 + [("cold",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.k: r for r in stats.heavy_hitters(df, "k", min_share=0.10,
+                                               rows_per_bucket=25).collect()}
+    assert set(out) == {"hot", "warm"}  # cold is under the 10% floor
+    assert out["hot"].n_rows == 80 and abs(out["hot"].share - 0.8) < 1e-9
+    assert out["hot"].salt_buckets == 4   # ceil(80/25)
+    assert out["warm"].salt_buckets == 1  # ceil(15/25) -> floor of 1
+
+
+def test_heavy_hitters_no_salt_column_by_default(spark):
+    from xmlschema_spark.operators import stats
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    out = stats.heavy_hitters(df, "k", min_share=0.5)
+    assert out.columns == ["k", "n_rows", "share"]
+    assert [r.k for r in out.collect()] == ["a"]
+
+
+def test_heavy_hitters_bad_params(spark):
+    from xmlschema_spark.operators import stats
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        stats.heavy_hitters(df, "k", min_share=0.0)
+    with pytest.raises(ValueError):
+        stats.heavy_hitters(df, "k", min_share=0.5, rows_per_bucket=0)

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from xmlschema_spark.operators.dedup import shingles
+from xmlschema_spark.operators.dedup import normalize_text, shingles
 from xmlschema_spark.operators.text import tokens
 
 # ---------------------------------------------------------------------------
@@ -319,4 +319,127 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.floor(dur_us / 1_000_000).alias("duration_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain capping / quality-aware group limits
+# ---------------------------------------------------------------------------
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    id_col: str,
+    score_col: str | None = None,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group — the domain-capping step
+    of a web corpus (no single site/source may dominate the mix). With
+    ``score_col`` the cap keeps the HIGHEST-scoring rows (quality-aware:
+    longest, best classifier score, …); without it the cap keeps a
+    uniform deterministic-hash sample (the :func:`stratified_sample`
+    ordering), so repeated runs and other engines agree row-for-row.
+
+    ONE window per group (sort-based, spill-safe) — same shape and same
+    hot-group caveat as :func:`stratified_sample`: a monster domain is
+    one window partition, so at extreme sizes pre-cut the group with
+    :func:`hash_sample` to ~10x the cap first; the pre-cut is a
+    shuffle-free filter, and quality ordering among survivors is
+    preserved in distribution."""
+    if max_rows <= 0:
+        raise ValueError(f"max_rows must be > 0, got {max_rows}")
+    if score_col is not None:
+        order = [F.desc(score_col), F.col(id_col)]
+    else:
+        order = [sample_hash(F.col(id_col), salt), F.col(id_col)]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental ingest: dedup a new batch against the historical corpus
+# ---------------------------------------------------------------------------
+
+def novel_docs(
+    batch: DataFrame, corpus: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Batch rows whose normalized content hash does NOT already appear
+    in the historical corpus — exact dedup in its incremental-ingest
+    form (every crawl snapshot is validated against everything already
+    accepted; the reference's ID-registry analog is the document-scoped
+    ``id_map`` that rejects re-declared IDs, simple_types.py:508-516,
+    lifted to cross-run scope).
+
+    Plan shape: the corpus side collapses to DISTINCT hashes BEFORE the
+    join — the anti-join's build side is bounded by distinct content,
+    not corpus rows, and carries one 32-char hash column instead of
+    documents. Spark picks BHJ when that digest is broadcastable and
+    falls back to a shuffled SMJ otherwise; under AQE the anti-join also
+    injects a runtime bloom filter on the batch scan, so most duplicate
+    rows die at the scan. The hash is md5 of the collapse-normalized
+    text (dedup.normalize_text), identical in DuckDB, so the whole
+    operator is oracle-expressible.
+
+    Note: duplicates WITHIN the batch are kept (both copies are novel
+    w.r.t. the corpus); chain :func:`~xmlschema_spark.operators.dedup.
+    drop_exact_duplicates` after if first-copy-only semantics are
+    wanted."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    seen = corpus.select(h.alias("__h")).distinct()
+    return (
+        batch.withColumn("__h", h)
+        .join(seen, "__h", "left_anti")
+        .drop("__h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture sampling
+# ---------------------------------------------------------------------------
+
+def token_budget_sample(
+    df: DataFrame,
+    bucket_col: str,
+    budget_tokens: int,
+    id_col: str,
+    text_col: str,
+    salt: str = "budget",
+) -> DataFrame:
+    """Fill each bucket (language, source, domain tier …) up to a TOKEN
+    budget instead of a row quota — how an actual training mix is
+    specified ("30B tokens of code, 5B of wiki"). Greedy deterministic
+    fill: docs are taken in hash order (uniform, engine-reproducible)
+    until the budget is reached; the doc that crosses the line is KEPT
+    (budgets are floors in mix specs — every bucket with enough supply
+    reaches >= budget, and by at most one doc's overshoot).
+
+    Keep rule: a doc stays iff the cumulative token count of all docs
+    BEFORE it (hash order) is still under budget — so the first doc of a
+    bucket always survives, even alone over budget.
+
+    ONE window per bucket carrying a single running sum over an int
+    column (the token counts are computed in the same projection — no
+    pre-agg pass, no join). Buckets are few by construction (mix specs
+    name dozens of buckets, not millions), so per-bucket sort skew is
+    the same documented concern as :func:`stratified_sample`'s, with the
+    same pre-cut remedy. Adds ``n_tokens`` and ``cum_before``."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    w = Window.partitionBy(bucket_col).orderBy(
+        sample_hash(F.col(id_col), salt), F.col(id_col)
+    )
+    ntok = F.size(tokens(F.col(text_col)))
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        df.withColumn("n_tokens", ntok)
+        .withColumn("cum_before", cum_before)
+        .filter(F.col("cum_before") < budget_tokens)
     )
