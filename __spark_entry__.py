@@ -1113,6 +1113,57 @@ def q_token_budget_docs(spark, sf_dir):
     )
 
 
+def _md5_long60_sql(arg: str) -> str:
+    """DuckDB expression assembling the low 60 bits (15 hex nibbles) of
+    md5(arg) into a positive BIGINT — the oracle half of the Spark
+    conv-nibble assembly in _synth_phash (same nibble order, same
+    little-endian weighting, no two's-complement edge cases)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5({arg}), {j + 1}, 1)) - 1)::BIGINT"
+        + (f" * {16 ** j}" if j else "")
+        for j in range(15)
+    ]
+    return "(" + "\n     + ".join(terms) + ")"
+
+
+def _synth_phash():
+    """Deterministic 60-bit perceptual-hash stand-in, identically
+    computable by DuckDB: base = md5-nibble long of the doc's dup-group
+    (doc_id % 40 — ~12 docs share each base), then 0/1/2/8-bit flips by
+    doc_id % 4 manufacture hamming-0/1/2/far neighbors. 60 bits (15
+    nibbles) keeps every value positive so no engine needs two's-
+    complement special cases; the pigeonhole blocking is unaffected."""
+    h = F.md5(F.concat(F.lit("p:"), (F.col("doc_id") % 40).cast("string")))
+    base = None
+    for j in range(15):
+        nib = F.conv(F.substring(h, j + 1, 1), 16, 10).cast("long")
+        term = F.shiftleft(nib, 4 * j)
+        base = term if base is None else base.bitwiseOR(term)
+    flips = F.expr(
+        "CASE CAST(doc_id % 4 AS INT)"
+        " WHEN 1 THEN shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"
+        " WHEN 2 THEN shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"
+        "      | shiftleft(CAST(1 AS BIGINT), CAST((doc_id + 29) % 60 AS INT))"
+        " WHEN 3 THEN CAST(255 AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
+    return base.bitwiseXOR(flips)
+
+
+def q_phash_near_dups(spark, sf_dir):
+    """Perceptual near-dup image pairs (hamming <= 3 on the stored
+    phash:int64 column, per input_hint) via the pigeonhole-blocked
+    hamming self-join — certified end to end (chunking, hot-block cap,
+    hamming filter) on a deterministically seeded phash column the
+    oracle derives identically. The real-image path (phash from
+    multimodal.extract_features over generated images) runs the SAME
+    operator and is pytest-covered vs brute force."""
+    df = _t(spark, sf_dir, "documents", parallel=False)
+    sig = df.select("doc_id", _synth_phash().alias("phash"))
+    out = dedup_ops.phash_near_duplicates(sig, "phash", "doc_id", max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full facet + identity validation of lineitem at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1197,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_docs": q_domain_cap_docs,
         "novel_docs_batch": q_novel_docs_batch,
         "token_budget_docs": q_token_budget_docs,
+        "phash_near_dups": q_phash_near_dups,
     }
 
 
@@ -2437,5 +2489,37 @@ c AS (
   FROM n
 )
 SELECT doc_id, lang, n_tokens, cum_before FROM c WHERE cum_before < 2000
+""",
+        "phash_near_dups": f"""
+WITH sig AS (
+  SELECT doc_id,
+    xor({_md5_long60_sql("'p:' || (doc_id % 40)")},
+        CASE doc_id % 4
+          WHEN 1 THEN (1::BIGINT << CAST(doc_id % 60 AS INTEGER))
+          WHEN 2 THEN (1::BIGINT << CAST(doc_id % 60 AS INTEGER))
+                    | (1::BIGINT << CAST((doc_id + 29) % 60 AS INTEGER))
+          WHEN 3 THEN 255::BIGINT
+          ELSE 0::BIGINT END) AS phash
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, phash, i AS chunk_idx, (phash >> (i * 16)) & 65535 AS chunk_val
+  FROM sig, generate_series(0, 3) AS t(i)
+),
+hot AS (
+  SELECT chunk_idx, chunk_val FROM chunks GROUP BY 1, 2 HAVING count(*) > 200
+),
+ok AS (
+  SELECT c.doc_id, c.phash, c.chunk_idx, c.chunk_val FROM chunks c
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.chunk_idx = c.chunk_idx AND h.chunk_val = c.chunk_val)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.phash AS ha, b.phash AS hb
+  FROM ok a JOIN ok b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """,
     }

@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "pii_docs",                   # regex detect + redact, codegen-only
     "decontam_docs",              # broadcast eval-shingle contamination join
     "sessions_events",            # per-user gap sessionization window
+    "heavy_hitters_events",       # skew detector (single-scan via exchange reuse)
+    "phash_near_dups",            # pigeonhole-blocked hamming self-join (8-byte sigs)
 ]
 
 # sized so the timed suite runs for several seconds after the Arrow-native

@@ -405,3 +405,57 @@ def test_heavy_hitters_bad_params(spark):
         stats.heavy_hitters(df, "k", min_share=0.0)
     with pytest.raises(ValueError):
         stats.heavy_hitters(df, "k", min_share=0.5, rows_per_bucket=0)
+
+
+# ------------------------------------------------------- hamming / phash near-dup
+
+def test_hamming_near_duplicates_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    sigs, i = [], 0
+    for _ in range(8):
+        b = rng.getrandbits(63)
+        sigs.append((i, b)); i += 1
+        sigs.append((i, b ^ (1 << (i % 60)))); i += 1                      # hamming 1
+        sigs.append((i, b ^ (1 << (i % 60)) ^ (1 << ((i + 17) % 60)))); i += 1  # hamming 2
+    df = spark.createDataFrame(sigs, "id long, sig long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.hamming_near_duplicates(
+            df, "sig", "id", max_hamming=3, max_block_size=None
+        ).collect()
+    }
+    exp = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(sigs, 2):
+        h = bin(sa ^ sb).count("1")
+        if h <= 3:
+            exp[(ia, ib)] = h
+    assert got == exp and len(exp) >= 24  # every within-group pair, nothing else
+
+
+def test_hamming_pigeonhole_needs_enough_chunks(spark):
+    df = spark.createDataFrame([(1, 5)], "id long, sig long")
+    with pytest.raises(ValueError):
+        dedup.hamming_near_duplicates(df, "sig", "id", max_hamming=4, chunk_bits=16)
+
+
+def test_phash_near_duplicates_hot_family(spark):
+    from collections import Counter
+
+    df = generate_images_df(spark, 300, seed=5, hot_phash_frac=0.1)
+    counts = Counter(r.phash for r in df.select("phash").collect())
+    exp_pairs = sum(c * (c - 1) // 2 for c in counts.values())
+    assert exp_pairs >= 30 * 29 // 2  # the injected hot family alone
+    # uncapped: every identical-phash pair is found
+    uncapped = dedup.phash_near_duplicates(
+        df, "phash", "image_id", max_hamming=0, max_block_size=None
+    )
+    assert uncapped.count() == exp_pairs
+    # capped: the hot block exceeds the cap -> dropped (bounded work, the
+    # 10^12-scale contract), no partial quadratic blowup
+    capped = dedup.phash_near_duplicates(
+        df, "phash", "image_id", max_hamming=0, max_block_size=20
+    )
+    assert capped.count() < exp_pairs

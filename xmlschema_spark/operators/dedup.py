@@ -409,18 +409,51 @@ def simhash_near_duplicates(
 
     ``hash_family``: see :func:`simhash_signatures` — ``"md5"`` makes this
     whole operator DuckDB-oracle-expressible end to end."""
+    sigs = simhash_signatures(df, text_col, id_col, hash_family)
+    return hamming_near_duplicates(
+        sigs, "simhash", "doc",
+        max_hamming=max_hamming, chunk_bits=chunk_bits,
+        max_block_size=max_block_size,
+    )
+
+
+def hamming_near_duplicates(
+    df: DataFrame,
+    sig_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    chunk_bits: int = 16,
+    max_block_size: int | None = 200,
+) -> DataFrame:
+    """Pairs of rows whose PRECOMPUTED 64-bit signatures differ in at
+    most ``max_hamming`` bits — the pigeonhole-blocked hamming self-join
+    shared by :func:`simhash_near_duplicates` (which computes its
+    signature from text first) and :func:`phash_near_duplicates` (whose
+    signature already sits in the table). Split 64 bits into
+    64/chunk_bits chunks: any pair within hamming k agrees exactly on
+    ≥ 1 chunk when chunks > k, so blocking on (chunk_idx, chunk_val)
+    finds every qualifying pair with one explode + one equi-join —
+    no O(n²) anywhere.
+
+    ``max_block_size`` is the quadratic-blowup guard (same role as
+    :func:`minhash_lsh_candidates`' bucket cap): blocks above the cap —
+    e.g. millions of near-black images sharing a phash chunk — are
+    dropped via an anti-join on the block-size aggregate rather than
+    pairing 10^12 candidates. Pass ``None`` to disable (exhaustive
+    small-scale/oracle use). Output: (id_a, id_b, hamming), id_a < id_b.
+    """
     n_chunks = 64 // chunk_bits
     if max_hamming >= n_chunks:
         raise ValueError("need chunks > max_hamming for pigeonhole completeness")
-    sigs = simhash_signatures(df, text_col, id_col, hash_family)
+    sigs = df.select(F.col(id_col).alias("doc"), F.col(sig_col).alias("__sig"))
     mask = (1 << chunk_bits) - 1
     chunks = sigs.select(
         "doc",
-        "simhash",
+        "__sig",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask))
+                    F.shiftrightunsigned(F.col("__sig"), i * chunk_bits).bitwiseAND(F.lit(mask))
                     for i in range(n_chunks)
                 ]
             )
@@ -449,8 +482,8 @@ def simhash_near_duplicates(
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            F.col("a.__sig").alias("ha"),
+            F.col("b.__sig").alias("hb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -458,6 +491,36 @@ def simhash_near_duplicates(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def phash_near_duplicates(
+    df: DataFrame,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    max_hamming: int = 3,
+    chunk_bits: int = 16,
+    max_block_size: int | None = 200,
+) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs: rows of the image+caption
+    table (input_hint: ``phash:int64``) whose perceptual hashes differ in
+    ≤ ``max_hamming`` bits. A phash IS a 64-bit similarity signature —
+    visually identical images (recompressions, format conversions, tiny
+    crops) land within a few bits of each other — so image near-dup
+    detection is :func:`hamming_near_duplicates` applied to the stored
+    column: no decode, no pandas UDF, pure JVM bit arithmetic over an
+    8-byte column at 10^12-image scale. Pairs feed the same
+    :func:`connected_components` → :func:`drop_near_duplicates` chain as
+    the text near-dup operators.
+
+    The signature-producing sibling is ``multimodal.extract_features``'
+    ``phash`` output (functions/codec.py), whose decode-side consistency
+    check (``phash_consistency``) validates stored phashes against pixel
+    content; this operator then mines the validated column."""
+    return hamming_near_duplicates(
+        df, phash_col, id_col,
+        max_hamming=max_hamming, chunk_bits=chunk_bits,
+        max_block_size=max_block_size,
+    )
 
 
 def connected_components(
