@@ -26,6 +26,7 @@ from xmlschema_spark.operators import identity as id_ops
 from xmlschema_spark.operators import multimodal as mm_ops
 from xmlschema_spark.operators import similarity as sim_ops
 from xmlschema_spark.operators import stats as stats_ops
+from xmlschema_spark.operators import temporal as temporal_ops
 from xmlschema_spark.operators import text as text_ops
 from xmlschema_spark.rules import Rule, RuleSet
 from xmlschema_spark.sources.images import generate_images_df
@@ -1113,6 +1114,35 @@ def q_token_budget_docs(spark, sf_dir):
     )
 
 
+def q_asof_tier_events(spark, sf_dir):
+    """As-of enrichment: each event joined to the user's latest tier
+    snapshot at-or-before the event time (broadcast interval strategy —
+    the fact side never shuffles). Snapshots are synthesized
+    deterministically (3 per user, staggered by user_id % 5 days, so
+    ~7% of events precede every snapshot and exercise the LEFT nulls);
+    the oracle replays them into DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events", parallel=False).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    dims = (
+        ev.select("user_id").distinct()
+        .select("user_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i"))
+        .select(
+            "user_id",
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_dt_interval(days=(F.col("user_id") % 5 + F.col("i") * 10).cast("int"))
+            ).alias("snap_ts"),
+            F.concat(F.lit("t"), ((F.col("user_id") + F.col("i")) % 4).cast("string")).alias("tier"),
+        )
+    )
+    out = temporal_ops.asof_join(ev, dims, "user_id", "ts", "snap_ts")
+    return out.select(
+        "event_id", "user_id", "tier",
+        F.date_format("snap_ts", "yyyy-MM-dd").alias("snap_day"),
+    )
+
+
 def _md5_long60_sql(arg: str) -> str:
     """DuckDB expression assembling the low 60 bits (15 hex nibbles) of
     md5(arg) into a positive BIGINT — the oracle half of the Spark
@@ -1249,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novel_docs_batch": q_novel_docs_batch,
         "token_budget_docs": q_token_budget_docs,
         "phash_near_dups": q_phash_near_dups,
+        "asof_tier_events": q_asof_tier_events,
     }
 
 
@@ -2521,5 +2552,18 @@ cand AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+""",
+        "asof_tier_events": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+dims AS (
+  SELECT user_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + ((user_id % 5) + i * 10) * INTERVAL 1 DAY AS snap_ts,
+         't' || ((user_id + i) % 4) AS tier
+  FROM u, generate_series(0, 2) AS t(i)
+)
+SELECT e.event_id, e.user_id, d.tier, strftime(d.snap_ts, '%Y-%m-%d') AS snap_day
+FROM events e ASOF LEFT JOIN dims d
+  ON e.user_id = d.user_id AND e.ts >= d.snap_ts
 """,
     }

@@ -1,0 +1,129 @@
+"""Temporal enrichment: the as-of join.
+
+Joins each fact row to the LATEST dimension snapshot at-or-before the
+fact's timestamp — how slowly-changing metadata (user tier, schema
+version, model checkpoint, exchange rate) attaches to an event/image
+stream without storing it denormalized. Spark has no native ASOF JOIN
+(DuckDB/Pandas do), but the semantics decompose exactly onto Spark
+primitives two different ways, picked by dimension size:
+
+- ``broadcast`` (default): turn each snapshot into a validity interval
+  [snap_ts, next snap_ts) with one ``lead()`` window over the (small)
+  dimension, broadcast it, and join facts with an equi-key + range
+  condition — a BroadcastHashJoin on the key whose range predicate is
+  evaluated on the hash-bucket matches. The fact side NEVER shuffles;
+  at 10^12 facts this is the only acceptable plan whenever the
+  dimension fits in a broadcast (snapshots of per-user/per-source
+  metadata are MBs, not TBs).
+- ``union``: when the dimension itself is huge (e.g. per-key config
+  history comparable to the fact count), tag both sides, union them,
+  and run ONE window per key ordered by (ts, tag) carrying
+  ``last(dim_col, ignorenulls=True)`` — each fact row picks up the most
+  recent snapshot values that sorted before it. One shuffle+sort of
+  facts+dims on the key; linear, spill-safe, no join explosion. Hot
+  keys are the usual window-skew envelope (pre-split by (key, day)
+  upstream, like curation.sessionize documents).
+
+Both strategies implement identical semantics (ties: a snapshot AT the
+fact timestamp matches — ``>=``; facts before every snapshot get NULLs,
+i.e. a LEFT as-of join) and are cross-checked in tests; the driver
+query is certified against DuckDB's native ASOF LEFT JOIN.
+
+No reference analog (the reference validates point-in-time documents);
+this is the dimension-attachment step a production validation run needs
+when rules themselves are versioned (rule set active AT ingest time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    key_cols: list[str] | str,
+    fact_ts: str,
+    dim_ts: str,
+    strategy: str = "broadcast",
+) -> DataFrame:
+    """As-of LEFT join: every ``facts`` row gains the payload columns of
+    the latest ``dims`` snapshot with ``dim_ts <= fact_ts`` for the same
+    key (NULLs when no snapshot precedes the fact). Payload = every dims
+    column except the keys and ``dim_ts``; ``dim_ts`` itself is kept so
+    callers can see which snapshot matched. Column-name collisions
+    between fact and dim payloads must be resolved by the caller
+    (rename before joining) — the output keeps both sides' names.
+
+    ``strategy``: ``"broadcast"`` (interval join, fact side never
+    shuffles — default, for broadcastable dims) or ``"union"`` (single
+    window over the unioned stream — for dims too large to broadcast).
+    See the module docstring for the scale trade-off.
+
+    Caveat (union path): a NULL in a dim payload column is treated as
+    "no value" — ``last(ignorenulls)`` falls through to the previous
+    snapshot's value for that column, where the broadcast path would
+    carry the NULL. Snapshots with all-non-null payloads (the normal
+    case) behave identically on both paths.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    payload = [c for c in dims.columns if c not in keys and c != dim_ts]
+    if strategy == "broadcast":
+        w = Window.partitionBy(*keys).orderBy(dim_ts)
+        # string-qualified aliases, not DataFrame[col] references: dims
+        # are often DERIVED from the fact table (snapshot rollups), and
+        # shared-lineage column objects misresolve in a self-join — the
+        # alias names are unambiguous regardless of lineage
+        f = facts.alias("__asof_f")
+        d = dims.withColumn("__valid_to", F.lead(dim_ts).over(w)).alias("__asof_d")
+        cond = None
+        for k in keys:
+            c = F.col(f"__asof_f.{k}") == F.col(f"__asof_d.{k}")
+            cond = c if cond is None else cond & c
+        fts = F.col(f"__asof_f.{fact_ts}")
+        cond = cond & (fts >= F.col(f"__asof_d.{dim_ts}")) & (
+            F.col("__asof_d.__valid_to").isNull()
+            | (fts < F.col("__asof_d.__valid_to"))
+        )
+        return f.join(F.broadcast(d), cond, "left").select(
+            *[F.col(f"__asof_f.{c}") for c in facts.columns],
+            F.col(f"__asof_d.{dim_ts}").alias(dim_ts),
+            *[F.col(f"__asof_d.{c}").alias(c) for c in payload],
+        )
+    if strategy == "union":
+        # tag 0 = dim, 1 = fact: at equal ts the dim sorts FIRST, so a
+        # snapshot taken exactly at the fact timestamp is visible to it
+        # (the `>=` tie rule, matching the broadcast path and DuckDB).
+        fact_cols = facts.columns
+        f_side = facts.select(
+            *[F.col(c) for c in fact_cols],
+            F.lit(None).cast(dims.schema[dim_ts].dataType).alias("__dts"),
+            *[F.lit(None).cast(dims.schema[c].dataType).alias(c) for c in payload],
+            F.lit(1).alias("__tag"),
+            F.col(fact_ts).alias("__ts"),
+        )
+        d_side = dims.select(
+            *[
+                F.col(k) if k in keys else F.lit(None).cast(facts.schema[k].dataType).alias(k)
+                for k in fact_cols
+            ],
+            F.col(dim_ts).alias("__dts"),
+            *[F.col(c) for c in payload],
+            F.lit(0).alias("__tag"),
+            F.col(dim_ts).alias("__ts"),
+        )
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__ts", "__tag")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = f_side.unionByName(d_side)
+        for c in [*payload, "__dts"]:
+            filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        return (
+            filled.filter(F.col("__tag") == 1)
+            .drop("__tag", "__ts")
+            .withColumnRenamed("__dts", dim_ts)
+        )
+    raise ValueError(f"strategy must be 'broadcast' or 'union', got {strategy!r}")
