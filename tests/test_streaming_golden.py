@@ -151,3 +151,80 @@ def test_windowed_verdicts_golden_rows(spark, tmp_path):
                 viol,
             )
     assert got == want
+
+
+def test_session_stats_stream_golden_rows(spark, tmp_path):
+    """Streaming sessionization golden: two users with hand-placed gaps
+    across two micro-batches; a far-future heartbeat advances the
+    watermark so every real session closes and is emitted (append mode).
+    Expectations derived by hand from the gap rule, including the exact
+    30s boundary: session_window merges ADJACENT ranges, so a gap of
+    exactly `gap` stays in the session — identical to batch sessionize's
+    strict > test (new session only when the gap exceeds the threshold)."""
+    from xmlschema_spark.streaming import session_stats_stream
+
+    src = str(tmp_path / "src")
+    base = 1_700_000_000
+    batches = [
+        # (user, ts_offset)
+        [(1, 0), (1, 10), (2, 0)],           # u1 session A (0,10); u2 session (0)
+        [(1, 40), (1, 70), (2, 200)],        # 10->40 is exactly gap=30s: NEW session
+        [(9, 100_000)],                      # heartbeat: watermark passes everything
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            [(u, base + off) for u, off in rows], "user_id long, ts long"
+        ).withColumn("ts", F.timestamp_seconds(F.col("ts"))).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = session_stats_stream(stream, "user_id", "ts", gap="30 seconds", watermark="10 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_golden")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.duration_sec)
+        for r in spark.sql("SELECT * FROM sess_golden").collect()
+    }
+    from datetime import datetime, timezone
+
+    def fmt(off):
+        return datetime.fromtimestamp(base + off, tz=timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+
+    # u1 gaps: 10s, 30s (exact boundary -> merges), 30s -> one 4-event
+    # session spanning 70s; u2 gap 200s > 30s -> two singletons
+    want = {
+        (1, fmt(0), 4, 70),
+        (2, fmt(0), 1, 0),
+        (2, fmt(200), 1, 0),
+    }
+    assert got == want
+
+    # cross-check: the batch operator over the SAME events yields the same
+    # sessions (plus the heartbeat's own session, which streaming correctly
+    # keeps open/unemitted)
+    from xmlschema_spark.operators.curation import session_stats
+
+    batch_df = spark.createDataFrame(
+        [(u, base + off) for rows in batches for u, off in rows],
+        "user_id long, ts long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    batch = {
+        (r.user_id, r.session_start, r.n_events, r.duration_sec)
+        for r in session_stats(batch_df, "user_id", "ts", gap_sec=30).collect()
+    }
+    assert batch == want | {(9, fmt(100_000), 1, 0)}

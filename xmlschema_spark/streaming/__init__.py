@@ -13,3 +13,4 @@ from xmlschema_spark.streaming.stats import (  # noqa: F401
     live_profile,
     streaming_partition_sketches,
 )
+from xmlschema_spark.streaming.sessions import session_stats_stream  # noqa: F401
