@@ -278,3 +278,50 @@ def test_token_budget_bad_budget(spark):
     df = spark.createDataFrame([(1, "a", "en")], "doc_id long, text string, lang string")
     with pytest.raises(ValueError):
         cur.token_budget_sample(df, "lang", 0, "doc_id", "text")
+
+
+# ------------------------------------------------------------- plan shapes
+
+def _executed_plan(df):
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cap_per_group_plan_has_rank_limit_pushdown(spark):
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+        (F.col("id") % 100).alias("score"),
+    )
+    plan = _executed_plan(cur.cap_per_group(df, "source", 5, "doc_id", score_col="score"))
+    # WindowGroupLimit below the exchange: each map task forwards at most
+    # k candidate rows per group — the property that makes the cap safe
+    # on a monster domain
+    assert "WindowGroupLimit" in plan
+
+
+def test_novel_docs_plan_is_broadcast_anti_on_digest(spark, tmp_path):
+    # parquet inputs so the optimizer has size stats (createDataFrame's
+    # ExistingRDD is unestimable and planned as SMJ until AQE converts it)
+    corpus_p, batch_p = str(tmp_path / "c"), str(tmp_path / "b")
+    spark.createDataFrame([(i, f"t{i}") for i in range(50)], "doc_id long, text string").write.parquet(corpus_p)
+    spark.createDataFrame([(i, f"t{i % 70}") for i in range(100)], "doc_id long, text string").write.parquet(batch_p)
+    out = cur.novel_docs(
+        spark.read.parquet(batch_p), spark.read.parquet(corpus_p), "text", "doc_id"
+    )
+    out.collect()  # finalize the adaptive plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    # the build side is the DISTINCT digest, not raw corpus rows
+    assert "HashAggregate" in plan
+
+
+def test_heavy_hitters_plan_scans_once(spark):
+    from xmlschema_spark.operators import stats
+    df = spark.createDataFrame([(i % 5,) for i in range(100)], "k long")
+    out = stats.heavy_hitters(df, "k", min_share=0.1)
+    out.collect()  # AQE finalizes the plan at execution
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the grand-total branch reuses the per-key counts shuffle instead of
+    # re-scanning the table
+    assert "ReusedExchange" in plan
