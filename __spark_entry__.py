@@ -1120,6 +1120,24 @@ def q_token_budget_docs(spark, sf_dir):
     )
 
 
+def q_weighted_sample_docs(spark, sf_dir):
+    """Quality-proportional sampling: each doc kept with probability
+    equal to its (4-decimal-rounded, for engine portability) quality
+    score — the soft quality gate. The fixture corpus is clean (most
+    docs score exactly 1.0, which would keep everything), so the query
+    scales scores by 0.7: the probabilistic keep/drop branch is what
+    gets certified, not just the w>=1 fast path. Pure filter over the
+    scored join; the oracle replays score, hash and threshold-hex
+    identically."""
+    df = _t(spark, sf_dir, "documents", parallel=False)
+    scored = text_ops.quality_score(df, "text", "doc_id").select(
+        "doc_id", F.round(F.col("quality_score") * 0.7, 4).alias("w")
+    )
+    joined = df.select("doc_id", "lang").join(scored, "doc_id")
+    out = cur_ops.weighted_sample(joined, "doc_id", "w", salt="wq")
+    return out.select("doc_id", "lang")
+
+
 def q_asof_tier_events(spark, sf_dir):
     """As-of enrichment: each event joined to the user's latest tier
     snapshot at-or-before the event time (broadcast interval strategy —
@@ -1286,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_docs": q_token_budget_docs,
         "phash_near_dups": q_phash_near_dups,
         "asof_tier_events": q_asof_tier_events,
+        "weighted_sample_docs": q_weighted_sample_docs,
     }
 
 
@@ -2236,7 +2255,7 @@ WITH f AS (
 ),
 g AS (
   SELECT doc_id,
-    round(LEAST(n_tokens / 20.0, 1.0) * 0.4
+    round(round(LEAST(n_tokens / 20.0, 1.0) * 0.4
         + (1 - LEAST((n_punct * 1.0 / safe_chars) * 4, 1.0)) * 0.2
         + (1 - LEAST((n_digit * 1.0 / safe_chars) * 4, 1.0)) * 0.2
         + CASE WHEN (coalesce(sum_len, 0) * 1.0 / safe_toks) >= 2
@@ -2571,5 +2590,34 @@ dims AS (
 SELECT e.event_id, e.user_id, d.tier, strftime(d.snap_ts, '%Y-%m-%d') AS snap_day
 FROM events e ASOF LEFT JOIN dims d
   ON e.user_id = d.user_id AND e.ts >= d.snap_ts
+""",
+        "weighted_sample_docs": """
+WITH f AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}'']+'), x -> length(x) > 0) AS toks,
+    len(toks) AS n_tokens,
+    GREATEST(length(text), 1) AS safe_chars,
+    GREATEST(len(toks), 1) AS safe_toks,
+    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) AS n_punct,
+    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS n_digit,
+    list_sum(list_transform(toks, x -> length(x))) AS sum_len
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    round(LEAST(n_tokens / 20.0, 1.0) * 0.4
+        + (1 - LEAST((n_punct * 1.0 / safe_chars) * 4, 1.0)) * 0.2
+        + (1 - LEAST((n_digit * 1.0 / safe_chars) * 4, 1.0)) * 0.2
+        + CASE WHEN (coalesce(sum_len, 0) * 1.0 / safe_toks) >= 2
+                AND (coalesce(sum_len, 0) * 1.0 / safe_toks) <= 12
+               THEN 0.2 ELSE 0.0 END, 6) AS score
+  FROM f
+),
+q AS (SELECT doc_id, round(score * 0.7, 4) AS w FROM s)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN q ON d.doc_id = q.doc_id
+WHERE w >= 1.0
+   OR (w > 0.0 AND substr(md5('wq:' || d.doc_id), 1, 8)
+                   < printf('%08x', CAST(floor(w * 4294967296.0) AS BIGINT)))
 """,
     }

@@ -325,3 +325,29 @@ def test_heavy_hitters_plan_scans_once(spark):
     # the grand-total branch reuses the per-key counts shuffle instead of
     # re-scanning the table
     assert "ReusedExchange" in plan
+
+
+# --------------------------------------------------------- weighted sampling
+
+def test_weighted_sample_extremes_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, None), (4, 2.5), (5, -0.3)],
+        "doc_id long, w double",
+    )
+    kept = sorted(r.doc_id for r in cur.weighted_sample(df, "doc_id", "w").collect())
+    # w>=1 keeps unconditionally (incl. over-1), w<=0 and NULL drop
+    assert kept == [1, 4]
+
+
+def test_weighted_sample_calibrated_and_monotone(spark):
+    df = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    half = df.withColumn("w", F.lit(0.5))
+    k_half = {r.doc_id for r in cur.weighted_sample(half, "doc_id", "w").collect()}
+    assert 0.45 < len(k_half) / 4000 < 0.55
+    # monotone per-row: raising the weight never drops a previously kept row
+    k_lo = {r.doc_id for r in cur.weighted_sample(
+        df.withColumn("w", F.lit(0.2)), "doc_id", "w").collect()}
+    assert k_lo <= k_half
+    # deterministic
+    again = {r.doc_id for r in cur.weighted_sample(half, "doc_id", "w").collect()}
+    assert again == k_half

@@ -443,3 +443,34 @@ def token_budget_sample(
         .withColumn("cum_before", cum_before)
         .filter(F.col("cum_before") < budget_tokens)
     )
+
+
+# ---------------------------------------------------------------------------
+# quality-proportional (weighted) sampling
+# ---------------------------------------------------------------------------
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, salt: str = "wsample"
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep each row with
+    probability ``clamp(weight, 0, 1)`` — the soft quality gate of
+    modern corpus pipelines (keep high-scoring docs almost surely, let
+    low-scoring ones survive occasionally, preserving diversity that a
+    hard score cutoff destroys).
+
+    The coin is the SAME md5 hash family as :func:`hash_sample` — a
+    pure, shuffle-free filter whose decision any engine reproduces from
+    (salt, id, weight): the row's 32-bit hash prefix must fall under
+    floor(weight * 2^32), compared as fixed-width lowercase hex so both
+    Spark and DuckDB stay in string space (no unsigned-hex-to-int cast
+    needed anywhere). weight >= 1 keeps unconditionally, <= 0 drops.
+    NULL weights drop (no silent keep on missing scores)."""
+    w = F.col(weight_col)
+    thresh = F.lower(
+        F.lpad(F.hex(F.floor(w * F.lit(float(1 << 32))).cast("bigint")), 8, "0")
+    )
+    keep = F.when(w >= 1.0, F.lit(True)).otherwise(
+        (w > 0.0)
+        & (F.substring(sample_hash(F.col(id_col), salt), 1, _HEX_DIGITS) < thresh)
+    )
+    return df.filter(keep)
