@@ -806,6 +806,20 @@ def q_minhash_pairs_docs(spark, sf_dir):
     return dedup_ops.minhash_lsh_candidates(df, "text", "doc_id", num_hashes=32, bands=16)
 
 
+def q_minhash_est_docs(spark, sf_dir):
+    """LSH candidates WITH the minhash Jaccard estimate (fraction of
+    agreeing lanes) — the cheap verification step between candidate
+    generation and exact confirm, certified end-to-end on the portable
+    md5 family (the oracle replays lanes, banding, caps AND the per-pair
+    lane-agreement arithmetic)."""
+    df = _t(spark, sf_dir, "documents")
+    out = dedup_ops.minhash_estimates(
+        df, "text", "doc_id", num_hashes=32, bands=16, shingle_k=4,
+        hash_family="md5",
+    )
+    return out.select("id_a", "id_b", "n_shared_bands", "est_jaccard")
+
+
 def q_simhash_dups_docs(spark, sf_dir):
     """SimHash near-dups via pigeonhole chunk blocking."""
     df = _t(spark, sf_dir, "documents", parallel=False)
@@ -1278,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5_docs": q_fingerprint_md5_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "minhash_md5_pairs_docs": q_minhash_md5_pairs_docs,
+        "minhash_est_docs": q_minhash_est_docs,
         "simhash_dups_docs": q_simhash_dups_docs,
         "simhash_md5_dups_docs": q_simhash_md5_dups_docs,
         "jaccard_pairs_docs": q_jaccard_pairs_docs,
@@ -1309,7 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _minhash_md5_oracle(num_hashes: int = 32, bands: int = 16, k: int = 4,
-                        cap: int = 200) -> str:
+                        cap: int = 200, est: bool = False) -> str:
     """DuckDB replay of the FULL md5-family minhash LSH pipeline
     (dedup.minhash_lsh_candidates(hash_family='md5')): md5 hex is
     identical in both engines and fixed-length hex min == 128-bit
@@ -1324,6 +1339,21 @@ def _minhash_md5_oracle(num_hashes: int = 32, bands: int = 16, k: int = 4,
         "md5(" + " || ',' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)) + ")"
         for b in range(bands)
     )
+    pairs_select = (
+        "SELECT a.doc AS id_a, b.doc AS id_b, count(*)::BIGINT AS n_shared_bands\n"
+        "FROM ok a JOIN ok b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc\n"
+        "GROUP BY a.doc, b.doc"
+    )
+    if est:
+        final_select = (
+            ", pairs AS (\n" + pairs_select + "\n)\n"
+            "SELECT p.id_a, p.id_b, p.n_shared_bands,\n"
+            f"  round(len(list_filter(generate_series(1, {num_hashes}), i -> la.sig[i] = lb.sig[i]))"
+            f" / {num_hashes}.0, 4) AS est_jaccard\n"
+            "FROM pairs p JOIN lanes la ON la.doc = p.id_a JOIN lanes lb ON lb.doc = p.id_b"
+        )
+    else:
+        final_select = pairs_select
     return f"""
 WITH toks AS (
   SELECT doc_id AS doc,
@@ -1360,9 +1390,7 @@ ok AS (
   SELECT b.doc, b.band, b.band_hash FROM banded b
   WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = b.band AND h.band_hash = b.band_hash)
 )
-SELECT a.doc AS id_a, b.doc AS id_b, count(*)::BIGINT AS n_shared_bands
-FROM ok a JOIN ok b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc
-GROUP BY a.doc, b.doc
+{final_select}
 """
 
 
@@ -1488,6 +1516,7 @@ comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
 def oracle_sql() -> dict[str, str]:
     sql = _oracle_sql_literals()
     sql["minhash_md5_pairs_docs"] = _minhash_md5_oracle()
+    sql["minhash_est_docs"] = _minhash_md5_oracle(est=True)
     sql["simhash_md5_dups_docs"] = _simhash_md5_oracle()
     # transitive closure of the jaccard candidate pairs via recursive CTE
     # — certifies connected_components' min-label propagation exactly

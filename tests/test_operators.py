@@ -459,3 +459,35 @@ def test_phash_near_duplicates_hot_family(spark):
         df, "phash", "image_id", max_hamming=0, max_block_size=20
     )
     assert capped.count() < exp_pairs
+
+
+# ------------------------------------------------------------- minhash estimates
+
+def test_minhash_estimates_vs_exact_jaccard(spark, docs):
+    import itertools
+    import re as _re
+
+    out = dedup.minhash_estimates(
+        docs, "text", "doc_id", num_hashes=64, bands=32, shingle_k=3
+    )
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in out.collect()}
+    out.unpersist()
+    assert got, "candidate set should not be empty on the near-dup fixture"
+
+    # exact jaccard in plain python over the same normalization/shingling
+    def sh(text, k=3):
+        words = [w for w in _re.split(r"\s+", text.lower().strip()) if w]
+        if len(words) >= k:
+            return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+        return {" ".join(words)}
+
+    rows = {r.doc_id: r.text for r in docs.collect() if r.text is not None}
+    for (a, b), est in got.items():
+        sa, sb = sh(rows[a]), sh(rows[b])
+        exact = len(sa & sb) / len(sa | sb)
+        # 64 lanes: se = sqrt(J(1-J)/64) <= 0.0625; allow 4 se
+        assert abs(est - exact) <= 0.25, (a, b, est, exact)
+        assert 0.0 <= est <= 1.0
+
+    # docs 0 and 3 are identical after normalization -> estimate exactly 1.0
+    assert got[(0, 3)] == 1.0

@@ -185,15 +185,31 @@ def minhash_lsh_candidates(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
-    band_hash = F.xxhash64 if hash_family == "xxhash64" else F.md5
     # materialize shingles ONCE, then hash: inlining the shingle expression
     # into all k minhash lanes would re-evaluate it k times per row.
     shingled = df.select(
         F.col(id_col).alias("doc"), shingles(F.col(text_col), shingle_k).alias("sh")
     )
     sig = minhash_signature(F.col("sh"), num_hashes, hash_family)
-    banded = shingled.select(F.col("doc"), sig.alias("sig")).select(
+    sigs = shingled.select(F.col("doc"), sig.alias("sig"))
+    return _lsh_pairs_from_sigs(sigs, num_hashes, bands, max_bucket_size, hash_family)
+
+
+def _lsh_pairs_from_sigs(
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int,
+    hash_family: str,
+) -> DataFrame:
+    """The banding + bucket-join stage of minhash LSH over a precomputed
+    (doc, sig) table → (id_a, id_b, n_shared_bands). Shared by
+    :func:`minhash_lsh_candidates` (computes signatures inline) and
+    :func:`minhash_estimates` (persists signatures so the estimate join
+    reuses them)."""
+    rows_per_band = num_hashes // bands
+    band_hash = F.xxhash64 if hash_family == "xxhash64" else F.md5
+    banded = sigs.select(
         "doc",
         F.posexplode(
             F.array(
@@ -231,6 +247,61 @@ def minhash_lsh_candidates(
         ).alias("p")
     ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
     return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_shared_bands"))
+
+
+def minhash_estimates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket_size: int = 200,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """LSH candidate pairs WITH their estimated Jaccard similarity:
+    ``est_jaccard`` = fraction of agreeing minhash lanes — the unbiased
+    minhash estimator of J(a,b) (se ≈ sqrt(J(1-J)/num_hashes)). This is
+    the cheap VERIFICATION step between candidate generation and an
+    exact confirm: scoring a pair costs one array comparison instead of
+    re-intersecting shingle sets, so downstream thresholds (keep/drop,
+    clustering edge weights) can run on the candidate set directly.
+
+    Plan shape: the signature table is computed ONCE and persisted for
+    the duration of the call; banding/bucketing reads it, and the two
+    id-equi-joins that attach both signatures to each pair read it
+    again (candidate pairs are orders of magnitude fewer than corpus
+    rows, so both joins are small-side). Released before returning —
+    same eager-materialize contract as :func:`jaccard_pairs`.
+
+    ``hash_family='md5'`` makes the estimate itself oracle-expressible
+    (lane equality over DuckDB-reproducible hex lanes)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    shingled = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    sigs = shingled.select(
+        "doc", minhash_signature(F.col("sh"), num_hashes, hash_family).alias("sig")
+    ).persist()
+    pairs = _lsh_pairs_from_sigs(sigs, num_hashes, bands, max_bucket_size, hash_family)
+    sa = sigs.select(F.col("doc").alias("id_a"), F.col("sig").alias("__sa"))
+    sb = sigs.select(F.col("doc").alias("id_b"), F.col("sig").alias("__sb"))
+    est = F.round(
+        F.size(F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda v: v))
+        / F.lit(num_hashes),
+        4,
+    )
+    out = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
+        .select("id_a", "id_b", "n_shared_bands", "est_jaccard")
+        .persist()
+    )
+    out.count()  # materialize so `sigs` can be released before returning
+    sigs.unpersist()
+    return out
 
 
 def jaccard_pairs(
