@@ -351,3 +351,13 @@ def test_weighted_sample_calibrated_and_monotone(spark):
     # deterministic
     again = {r.doc_id for r in cur.weighted_sample(half, "doc_id", "w").collect()}
     assert again == k_half
+
+
+def test_token_budget_empty_and_null_text(spark):
+    df = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert cur.token_budget_sample(df, "lang", 100, "doc_id", "text").count() == 0
+
+
+def test_cap_per_group_empty(spark):
+    df = spark.createDataFrame([], "doc_id long, source string")
+    assert cur.cap_per_group(df, "source", 3, "doc_id").count() == 0

@@ -491,3 +491,19 @@ def test_minhash_estimates_vs_exact_jaccard(spark, docs):
 
     # docs 0 and 3 are identical after normalization -> estimate exactly 1.0
     assert got[(0, 3)] == 1.0
+
+
+def test_heavy_hitters_empty_input(spark):
+    from xmlschema_spark.operators import stats
+    df = spark.createDataFrame([], "k string")
+    assert stats.heavy_hitters(df, "k", min_share=0.5).count() == 0
+
+
+def test_phash_near_duplicates_empty(spark):
+    df = spark.createDataFrame([], "image_id string, phash long")
+    assert dedup.phash_near_duplicates(df, "phash", "image_id").count() == 0
+
+
+def test_minhash_estimates_bad_bands(spark, docs):
+    with pytest.raises(ValueError):
+        dedup.minhash_estimates(docs, "text", "doc_id", num_hashes=10, bands=3)

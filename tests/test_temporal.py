@@ -118,3 +118,10 @@ def test_asof_dims_derived_from_facts(spark):
             assert r.tag == "mid"
         else:
             assert r.tag is None
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
+def test_asof_empty_dims_all_null(spark, facts, strategy):
+    dims = spark.createDataFrame([], "user_id long, snap_ts timestamp, tier string")
+    out = asof_join(facts, dims, "user_id", "ts", "snap_ts", strategy=strategy).collect()
+    assert len(out) == 6 and all(r.tier is None for r in out)
