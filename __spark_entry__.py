@@ -2284,7 +2284,7 @@ WITH f AS (
 ),
 g AS (
   SELECT doc_id,
-    round(round(LEAST(n_tokens / 20.0, 1.0) * 0.4
+    round(LEAST(n_tokens / 20.0, 1.0) * 0.4
         + (1 - LEAST((n_punct * 1.0 / safe_chars) * 4, 1.0)) * 0.2
         + (1 - LEAST((n_digit * 1.0 / safe_chars) * 4, 1.0)) * 0.2
         + CASE WHEN (coalesce(sum_len, 0) * 1.0 / safe_toks) >= 2
