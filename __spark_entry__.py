@@ -820,6 +820,22 @@ def q_minhash_est_docs(spark, sf_dir):
     return out.select("id_a", "id_b", "n_shared_bands", "est_jaccard")
 
 
+def q_near_dedup_minhash_keep(spark, sf_dir):
+    """The production near-dedup pipeline END TO END on the certified
+    md5 family: LSH candidates -> minhash Jaccard estimate >= 0.5 ->
+    connected components -> keep the cluster-min doc per cluster plus
+    every unpaired doc. Certifies the full composition (candidate
+    generation, estimation, thresholding, transitive closure, keep set)
+    against one recursive-CTE oracle."""
+    df = _t(spark, sf_dir, "documents")
+    est = dedup_ops.minhash_estimates(
+        df, "text", "doc_id", num_hashes=32, bands=16, shingle_k=4,
+        hash_family="md5",
+    )
+    pairs = est.filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b")
+    return dedup_ops.drop_near_duplicates(df, pairs, "doc_id").select("doc_id")
+
+
 def q_simhash_dups_docs(spark, sf_dir):
     """SimHash near-dups via pigeonhole chunk blocking."""
     df = _t(spark, sf_dir, "documents", parallel=False)
@@ -1293,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "minhash_md5_pairs_docs": q_minhash_md5_pairs_docs,
         "minhash_est_docs": q_minhash_est_docs,
+        "near_dedup_minhash_keep": q_near_dedup_minhash_keep,
         "simhash_dups_docs": q_simhash_dups_docs,
         "simhash_md5_dups_docs": q_simhash_md5_dups_docs,
         "jaccard_pairs_docs": q_jaccard_pairs_docs,
@@ -1324,7 +1341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _minhash_md5_oracle(num_hashes: int = 32, bands: int = 16, k: int = 4,
-                        cap: int = 200, est: bool = False) -> str:
+                        cap: int = 200, est: bool = False,
+                        keep_threshold: float | None = None) -> str:
     """DuckDB replay of the FULL md5-family minhash LSH pipeline
     (dedup.minhash_lsh_candidates(hash_family='md5')): md5 hex is
     identical in both engines and fixed-length hex min == 128-bit
@@ -1344,18 +1362,33 @@ def _minhash_md5_oracle(num_hashes: int = 32, bands: int = 16, k: int = 4,
         "FROM ok a JOIN ok b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc\n"
         "GROUP BY a.doc, b.doc"
     )
-    if est:
+    est_select = (
+        ", pairs AS (\n" + pairs_select + "\n)\n"
+        ", est AS (SELECT p.id_a, p.id_b, p.n_shared_bands,\n"
+        f"  round(len(list_filter(generate_series(1, {num_hashes}), i -> la.sig[i] = lb.sig[i]))"
+        f" / {num_hashes}.0, 4) AS est_jaccard\n"
+        "FROM pairs p JOIN lanes la ON la.doc = p.id_a JOIN lanes lb ON lb.doc = p.id_b)\n"
+    )
+    if keep_threshold is not None:
+        # transitive closure over the thresholded estimate edges, keep =
+        # docs in no pair or the cluster-min representative
         final_select = (
-            ", pairs AS (\n" + pairs_select + "\n)\n"
-            "SELECT p.id_a, p.id_b, p.n_shared_bands,\n"
-            f"  round(len(list_filter(generate_series(1, {num_hashes}), i -> la.sig[i] = lb.sig[i]))"
-            f" / {num_hashes}.0, 4) AS est_jaccard\n"
-            "FROM pairs p JOIN lanes la ON la.doc = p.id_a JOIN lanes lb ON lb.doc = p.id_b"
+            est_select
+            + f", edges AS (SELECT id_a AS u, id_b AS v FROM est WHERE est_jaccard >= {keep_threshold}\n"
+            + f"            UNION SELECT id_b, id_a FROM est WHERE est_jaccard >= {keep_threshold})\n"
+            + ", reach(node, r) AS (SELECT u, u FROM edges\n"
+            + "   UNION SELECT e.v, reach.r FROM edges e JOIN reach ON reach.node = e.u)\n"
+            + ", comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)\n"
+            + "SELECT doc_id FROM documents\n"
+            + "WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"
         )
+    elif est:
+        final_select = est_select + "SELECT id_a, id_b, n_shared_bands, est_jaccard FROM est"
     else:
         final_select = pairs_select
+    recursive = "RECURSIVE " if keep_threshold is not None else ""
     return f"""
-WITH toks AS (
+WITH {recursive}toks AS (
   SELECT doc_id AS doc,
     list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
                 x -> length(x) > 0) AS words
@@ -1517,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
     sql = _oracle_sql_literals()
     sql["minhash_md5_pairs_docs"] = _minhash_md5_oracle()
     sql["minhash_est_docs"] = _minhash_md5_oracle(est=True)
+    sql["near_dedup_minhash_keep"] = _minhash_md5_oracle(keep_threshold=0.5)
     sql["simhash_md5_dups_docs"] = _simhash_md5_oracle()
     # transitive closure of the jaccard candidate pairs via recursive CTE
     # — certifies connected_components' min-label propagation exactly
