@@ -86,7 +86,12 @@ def main():
     # serial per-query timings above are unaffected (one job at a time).
     spark = get_spark("bench", cores=cpus, extra_conf={"spark.scheduler.mode": "FAIR"})
 
-    qs = entry.queries()
+    qs = dict(entry.queries())
+    # the production xxhash64 near-dup variants stay benched although they
+    # left the queries() registry (their md5 siblings carry the oracle
+    # certification; the xxhash path is what runs at scale)
+    qs["minhash_pairs_docs"] = entry.q_minhash_pairs_docs
+    qs["simhash_dups_docs"] = entry.q_simhash_dups_docs
 
     # untimed warm-up: JVM/codegen compile, parquet footer reads, Python
     # worker pool spin-up — so per-query numbers reflect steady state
@@ -106,6 +111,7 @@ def main():
         t0 = time.time()
         _force(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+    entry.release_shared_caches()
 
     # --- headline: full constraint-suite pass over the image+caption table,
     # in the production throughput shape proven out in BENCH.md: the

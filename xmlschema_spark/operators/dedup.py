@@ -267,6 +267,13 @@ def minhash_estimates(
     re-intersecting shingle sets, so downstream thresholds (keep/drop,
     clustering edge weights) can run on the candidate set directly.
 
+    The result is materialized eagerly (persist + count) and the
+    signature intermediate released before returning. Call
+    ``.unpersist()`` on the RETURNED DataFrame when done with it (same
+    contract as :func:`jaccard_pairs` / ``ValidationResult.unpersist``);
+    long-lived callers that need the estimate more than once should
+    reuse the one returned DataFrame rather than re-invoking.
+
     Plan shape: the signature table is computed ONCE and persisted for
     the duration of the call; banding/bucketing reads it, and the two
     id-equi-joins that attach both signatures to each pair read it
