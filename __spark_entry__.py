@@ -14,6 +14,7 @@ explicitly so value-hashes are stable across engines.
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1027,6 +1028,50 @@ def q_image_features(spark, sf_dir):
     )
 
 
+_IMG_FIXTURE = str(Path(__file__).resolve().parent / "fixtures" / "images_rowrules.parquet")
+
+
+def q_image_suite_rowrules(spark, sf_dir):
+    """The SQL-expressible ROW-RULE subset of the image constraint suite
+    (everything in default_image_ruleset except the pandas-UDF decode /
+    phash / drift checks), run over the COMMITTED deterministic fixture
+    parquet — both Spark and the DuckDB oracle read the same file, so
+    the certified content is exactly the rule evaluation: not-null,
+    pattern, enumeration, range, length, SQL assertions, the six lexical
+    metadata kinds (timezone / boolean / qname / hex / base64 / list /
+    duration), and the table-scope key + unique duplicate detection.
+    Only decode/PSNR stay rows-only (image_suite_verdicts, golden
+    manifest). Fixture pinned to the generator by
+    tests/test_images.py::test_rowrules_fixture_matches_generator."""
+    from xmlschema_spark.sources.rules_loader import default_image_ruleset
+
+    rules = RuleSet(
+        [
+            r
+            for r in default_image_ruleset()
+            if r.kind not in ("decode_image", "phash_consistency", "drift_psi")
+        ]
+    )
+    df = spark.read.parquet(_IMG_FIXTURE)
+    eng = ValidationEngine(rules)
+    res = eng.validate(df, run_id="imgrr", with_stats=False)
+    return res.violations.select(
+        "partition_id", "rule_id", "row_id", "column", "severity"
+    )
+
+
+def q_sessions_split_events(spark, sf_dir):
+    """Sessionization via the HOT-USER SCALE PATH (split_by='day':
+    window within (user, day), stitch boundary sessions over the tiny
+    per-day summary) — certified against the SAME single-window oracle
+    as sessions_events, so the driver proves split ≡ single-window on
+    real data, not just the pytest fixtures."""
+    df = _t(spark, sf_dir, "events", parallel=False)
+    return cur_ops.session_stats(
+        df, "user_id", "ts", 1800, tiebreak_col="event_id", split_by="day"
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style wide aggregation (general agg capability check)."""
     df = _t(spark, sf_dir, "lineitem", parallel=False)
@@ -1303,7 +1348,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_pass_verdicts_lineitem": q_one_pass_verdicts_lineitem,
         "strict_mode_first_violation": q_strict_mode_first_violation,
         # identity constraints
-        "unique_dups_scoped": q_unique_dups_scoped,
         "unique_dups_salted": q_unique_dups_salted,
         "keyref_orphans": q_keyref_orphans,
         "key_nulls_orders": q_key_nulls_orders,
@@ -1348,6 +1392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,
         "decontam_docs": q_decontam_docs,
         "sessions_events": q_sessions_events,
+        "sessions_split_events": q_sessions_split_events,  # NEW r04: hot-user
+        # scale path certified against the single-window oracle
+        "image_suite_rowrules": q_image_suite_rowrules,  # NEW r04: the image
+        # suite's SQL-expressible row-rule subset, full DuckDB oracle
         "heavy_hitters_events": q_heavy_hitters_events,
         "domain_cap_docs": q_domain_cap_docs,
         "novel_docs_batch": q_novel_docs_batch,
@@ -1355,9 +1403,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dups": q_phash_near_dups,
         "asof_tier_events": q_asof_tier_events,
         "weighted_sample_docs": q_weighted_sample_docs,
-        "chi2_drift_events": q_chi2_drift_events,
         "bounds_facets_lineitem": q_bounds_facets_lineitem,
         # -- past the window: unchanged since their certifying round ------
+        "chi2_drift_events": q_chi2_drift_events,  # r03 (family stays covered
+        # in-window by psi_drift_events + ks_exact_events)
+        "unique_dups_scoped": q_unique_dups_scoped,  # r03 (family covered by
+        # unique_dups_salted + key_nulls_orders)
         "violation_counts_lineitem": q_violation_counts_lineitem,  # r03
         "unique_dups_part": q_unique_dups_part,  # r03
         "histogram_mktsegment": q_histogram_mktsegment,  # r03
@@ -1596,8 +1647,87 @@ comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
 """
 
 
+_IMG_ROWRULES_ORACLE = """
+WITH t AS (SELECT * FROM read_parquet('@FIXTURE@')),
+v AS (
+  SELECT part AS partition_id, 'id_not_null' AS rule_id, image_id AS row_id,
+         'image_id' AS col, 'error' AS sev FROM t WHERE image_id IS NULL
+  UNION ALL
+  SELECT part, 'bytes_not_null', image_id, 'bytes', 'error' FROM t WHERE bytes IS NULL
+  UNION ALL
+  SELECT part, 'fmt_not_null', image_id, 'fmt', 'error' FROM t WHERE fmt IS NULL
+  UNION ALL
+  SELECT part, 'id_pattern', image_id, 'image_id', 'error' FROM t
+   WHERE image_id IS NOT NULL AND NOT regexp_full_match(image_id, 'img_[0-9a-f]{1,32}')
+  UNION ALL
+  SELECT part, 'fmt_enum', image_id, 'fmt', 'error' FROM t
+   WHERE fmt IS NOT NULL AND fmt NOT IN ('png','jpeg','webp','bmp')
+  UNION ALL
+  SELECT part, 'w_range', image_id, 'w', 'error' FROM t WHERE w IS NOT NULL AND NOT (w >= 1)
+  UNION ALL
+  SELECT part, 'w_max', image_id, 'w', 'error' FROM t WHERE w IS NOT NULL AND NOT (w <= 65535)
+  UNION ALL
+  SELECT part, 'h_range', image_id, 'h', 'error' FROM t WHERE h IS NOT NULL AND NOT (h >= 1)
+  UNION ALL
+  SELECT part, 'h_max', image_id, 'h', 'error' FROM t WHERE h IS NOT NULL AND NOT (h <= 65535)
+  UNION ALL
+  SELECT part, 'caption_len', image_id, 'caption', 'error' FROM t
+   WHERE caption IS NOT NULL AND NOT (length(caption) <= 512)
+  UNION ALL
+  SELECT part, 'pixel_budget', image_id, '', 'error' FROM t
+   WHERE NOT coalesce(w * h BETWEEN 1 AND 100000000, FALSE)
+  UNION ALL
+  SELECT part, 'bytes_budget', image_id, '', 'error' FROM t
+   WHERE NOT coalesce(octet_length(bytes) <= w * h * 4 + 1024, FALSE)
+  UNION ALL
+  SELECT part, 'created_tz', image_id, 'created_at', 'error' FROM t
+   WHERE created_at IS NOT NULL
+     AND NOT regexp_matches(created_at, '(Z|[+-][0-9]{2}:[0-9]{2})$')
+  UNION ALL
+  SELECT part, 'animated_bool', image_id, 'animated', 'error' FROM t
+   WHERE animated IS NOT NULL
+     AND trim(regexp_replace(animated, '\\s+', ' ', 'g')) NOT IN ('true','false','1','0')
+  UNION ALL
+  SELECT part, 'tag_qname', image_id, 'tag', 'error' FROM t
+   WHERE tag IS NOT NULL AND NOT regexp_full_match(tag,
+     '([A-Za-z_][-.0-9A-Za-z_]*:)?[A-Za-z_][-.0-9A-Za-z_]*')
+  UNION ALL
+  SELECT part, 'icc_hex_ok', image_id, 'icc_hex', 'error' FROM t
+   WHERE icc_hex IS NOT NULL AND NOT regexp_full_match(icc_hex, '([0-9a-fA-F]{2})*')
+  UNION ALL
+  SELECT part, 'exif_b64_ok', image_id, 'exif_b64', 'error' FROM t
+   WHERE exif_b64 IS NOT NULL AND NOT regexp_full_match(
+     regexp_replace(exif_b64, '\\s+', '', 'g'),
+     '(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?')
+  UNION ALL
+  SELECT part, 'flags_list', image_id, 'flags', 'error' FROM t
+   WHERE flags IS NOT NULL AND NOT coalesce(
+     list_aggregate(list_transform(
+       list_filter(regexp_split_to_array(flags, '[\\t\\n\\r ]+'), x -> length(x) > 0),
+       x -> regexp_full_match(x, '(?:[a-z]+)')), 'bool_and')
+     AND len(list_filter(regexp_split_to_array(flags, '[\\t\\n\\r ]+'),
+             x -> length(x) > 0)) BETWEEN 1 AND 4,
+     FALSE)
+  UNION ALL
+  SELECT part, 'retention_dur', image_id, 'retention', 'error' FROM t
+   WHERE retention IS NOT NULL AND NOT regexp_full_match(retention,
+     '-?P(?:[0-9]+D(?:T(?:[0-9]+H(?:[0-9]+M)?(?:[0-9]+(?:\\.[0-9]+)?S)?|[0-9]+M(?:[0-9]+(?:\\.[0-9]+)?S)?|[0-9]+(?:\\.[0-9]+)?S))?|T(?:[0-9]+H(?:[0-9]+M)?(?:[0-9]+(?:\\.[0-9]+)?S)?|[0-9]+M(?:[0-9]+(?:\\.[0-9]+)?S)?|[0-9]+(?:\\.[0-9]+)?S))')
+  UNION ALL
+  SELECT '__table__', 'id_unique', image_id, 'image_id', 'error'
+  FROM t WHERE image_id IS NOT NULL GROUP BY image_id HAVING count(*) > 1
+  UNION ALL
+  SELECT '__table__', 'phash_unique', CAST(phash AS VARCHAR), 'phash', 'warning'
+  FROM t WHERE phash IS NOT NULL GROUP BY phash HAVING count(*) > 1
+)
+SELECT partition_id, rule_id, row_id, col AS "column", sev AS severity FROM v
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql = _oracle_sql_literals()
+    sql["image_suite_rowrules"] = _IMG_ROWRULES_ORACLE.replace("@FIXTURE@", _IMG_FIXTURE)
+    # the split path must equal the single-window rule EXACTLY — same oracle
+    sql["sessions_split_events"] = sql["sessions_events"]
     sql["minhash_md5_pairs_docs"] = _minhash_md5_oracle()
     sql["minhash_est_docs"] = _minhash_md5_oracle(est=True)
     sql["near_dedup_minhash_keep"] = _minhash_md5_oracle(keep_threshold=0.5)

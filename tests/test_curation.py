@@ -176,6 +176,98 @@ def test_sessionize_subsecond_boundary(spark):
     assert got[3] == 1 and got[4] == 2  # 1 µs beyond: new session
 
 
+def test_sessionize_split_matches_single_window_midnight_cases(spark):
+    # the hot-user scale path (split_by="day") must equal the single
+    # window exactly — exercise every boundary shape: a session that
+    # straddles midnight (merge), one that ends just before (no merge),
+    # a single session chaining across THREE days (cascading merges),
+    # an exactly-gap boundary (stays merged), an empty calendar day
+    # between events, and a user living in one day.
+    t = datetime(2024, 3, 1, 23, 45, 0)
+    rows = [
+        # u1: straddles midnight with a 10-min gap -> one session
+        (1, t, 1), (1, t + timedelta(minutes=10), 2),
+        (1, t + timedelta(minutes=20), 3),  # 00:05 next day
+        # u1 later that day, > gap -> second session
+        (1, t + timedelta(hours=2), 4),
+        # u2: last event 23:00, next day 00:30 -> 90 min > gap, no merge
+        (2, datetime(2024, 3, 1, 23, 0, 0), 5),
+        (2, datetime(2024, 3, 2, 0, 30, 0), 6),
+        # u3: one session chaining across 3 days (events every 25 min)
+        *[(3, datetime(2024, 3, 1, 23, 30, 0) + timedelta(minutes=25 * i), 10 + i)
+          for i in range(6)],
+        # u4: boundary gap EXACTLY 1800 s (23:50:00 -> 00:20:00) -> merged
+        (4, datetime(2024, 3, 1, 23, 50, 0), 30),
+        (4, datetime(2024, 3, 2, 0, 20, 0), 31),
+        # u4: gap 1800s + 1µs later the same day -> new session
+        (4, datetime(2024, 3, 2, 0, 50, 0, 1), 32),
+        # u5: empty day between events (Mar 1 -> Mar 3)
+        (5, datetime(2024, 3, 1, 12, 0, 0), 40),
+        (5, datetime(2024, 3, 3, 12, 0, 0), 41),
+        # u6: all inside one day, two sessions
+        (6, datetime(2024, 3, 2, 9, 0, 0), 50),
+        (6, datetime(2024, 3, 2, 9, 10, 0), 51),
+        (6, datetime(2024, 3, 2, 11, 0, 0), 52),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    single = cur.sessionize(df, "user_id", "ts", 1800, "event_id")
+    split = cur.sessionize(df, "user_id", "ts", 1800, "event_id", split_by="day")
+    assert split.schema == single.schema
+    g1 = {r.event_id: r.session_idx for r in single.collect()}
+    g2 = {r.event_id: r.session_idx for r in split.collect()}
+    assert g1 == g2
+    # spot-check the semantics themselves, not just agreement
+    assert g1[1] == g1[2] == g1[3] == 1 and g1[4] == 2
+    assert g1[5] == 1 and g1[6] == 2
+    assert all(g1[10 + i] == 1 for i in range(6))
+    assert g1[30] == g1[31] == 1 and g1[32] == 2
+    assert g1[40] == 1 and g1[41] == 2
+
+
+def test_sessionize_split_matches_single_window_randomized(spark):
+    # seeded pseudo-random corpus: many users, many days, gaps drawn
+    # around the threshold so boundary merges are frequent
+    import random
+
+    rng = random.Random(42)
+    rows, eid = [], 0
+    base = datetime(2024, 5, 1, 0, 0, 0)
+    for u in range(12):
+        ts = base + timedelta(minutes=rng.randint(0, 600))
+        for _ in range(rng.randint(1, 60)):
+            rows.append((u, ts, eid))
+            eid += 1
+            ts = ts + timedelta(seconds=rng.choice(
+                [60, 600, 1799, 1800, 1801, 3600, 20 * 3600, 50 * 3600]
+            ), microseconds=rng.choice([0, 1]))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    single = cur.sessionize(df, "user_id", "ts", 1800, "event_id")
+    for unit in ("day", "hour"):
+        split = cur.sessionize(df, "user_id", "ts", 1800, "event_id", split_by=unit)
+        got = {r.event_id: r.session_idx for r in split.collect()}
+        want = {r.event_id: r.session_idx for r in single.collect()}
+        assert got == want, f"split_by={unit} diverged"
+
+
+def test_session_stats_split_path(spark):
+    t0 = datetime(2024, 1, 1, 23, 50, 0)
+    df = spark.createDataFrame(
+        [(1, t0, 1), (1, t0 + timedelta(minutes=15), 2)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    out = cur.session_stats(df, "user_id", "ts", 1800, "event_id", split_by="day")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].n_events == 2 and rows[0].duration_sec == 900
+
+
+def test_token_budget_reserved_columns_raise(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", 3)], "doc_id long, text string, lang string, n_tokens int"
+    )
+    with pytest.raises(ValueError, match="n_tokens"):
+        cur.token_budget_sample(df, "lang", 10, "doc_id", "text")
+
+
 # ------------------------------------------------------------- domain capping
 
 def test_cap_per_group_score_order(spark):

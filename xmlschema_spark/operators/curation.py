@@ -20,8 +20,9 @@ hot path) and every operator is shuffle-conscious:
   per-doc distinct-token counts, not the raw token stream.
 - decontamination broadcasts the (small) benchmark shingle set — the
   10^12-row training side never shuffles.
-- sessionization is ONE window per user; hot users are a documented
-  pre-partitioning concern (split by (user, day) upstream).
+- sessionization is ONE window per user by default; ``split_by`` turns on
+  the implemented hot-user scale path (window within (user, time bucket),
+  stitch boundary sessions over the tiny per-bucket summary).
 """
 
 from __future__ import annotations
@@ -269,6 +270,7 @@ def sessionize(
     ts_col: str,
     gap_sec: int = 1800,
     tiebreak_col: str | None = None,
+    split_by: str | None = None,
 ) -> DataFrame:
     """Assign a per-user session index: a new session starts whenever the
     gap since the user's previous event exceeds ``gap_sec`` (the classic
@@ -276,12 +278,20 @@ def sessionize(
     Streaming's ``session_window``). Adds ``session_idx`` (1-based per
     user).
 
-    ONE window per user (lag + running sum share the same sort), so one
-    shuffle on ``user_col``. Hot-user skew is real at 10^12 events —
-    window partitions can't be salted without breaking the running sum —
-    so production pre-partitions the table by (user, day) and
-    sessionizes within day, stitching boundary sessions in a second tiny
-    pass; at fixture scale the single window is exact and cheapest."""
+    Default plan: ONE window per user (lag + running sum share the same
+    sort), so one shuffle on ``user_col``. Hot-user skew is real at
+    10^12 events — window partitions can't be salted without breaking
+    the running sum — so pass ``split_by`` ("day", "hour", … any
+    ``date_trunc`` unit) for the scale path: windows run within
+    (user, time-bucket) so a hot user becomes many bounded partitions,
+    and sessions that straddle bucket boundaries are stitched in a
+    second pass over the tiny per-(user, bucket) summary (one row per
+    user-bucket carrying first/last timestamp and local session count —
+    |users|x|buckets| rows, orders of magnitude below the event count).
+    Both paths produce IDENTICAL session_idx values (golden-tested on
+    boundary-straddling fixtures, tests/test_curation.py)."""
+    if split_by is not None:
+        return _sessionize_split(df, user_col, ts_col, gap_sec, tiebreak_col, split_by)
     order = [F.col(ts_col)]
     if tiebreak_col:
         order.append(F.col(tiebreak_col))
@@ -301,17 +311,98 @@ def sessionize(
     )
 
 
+def _sessionize_split(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_sec: int,
+    tiebreak_col: str | None,
+    split_by: str,
+) -> DataFrame:
+    """The hot-user scale path of :func:`sessionize`: window within
+    (user, date_trunc(split_by, ts)) so no window partition outgrows one
+    time bucket of one user, then stitch boundary-crossing sessions.
+
+    Stitch correctness: within a user, every event of bucket b precedes
+    every event of bucket b+1 (the bucket IS a ts prefix), so the only
+    possible cross-bucket merge is between the LAST local session of the
+    previous non-empty bucket and the FIRST local session of the current
+    one — consecutive events for that user. The per-bucket summary
+    (first/last event µs, local session count) decides each boundary
+    with the same ``> gap`` rule, and the global index is
+    ``offset + local_idx`` where ``offset`` = sessions in all prior
+    buckets minus boundary merges so far (a merge means the current
+    bucket's session 1 IS the previous bucket's last session). Empty
+    calendar buckets need no special case — lag() skips to the previous
+    bucket that has events, and the gap test fails naturally.
+
+    Cost: the event-side work is two exchanges on (user, bucket) — the
+    local window and the summary agg share the first under AQE — plus a
+    join against the summary (thin; Spark broadcasts it when it fits).
+    """
+    gap_us = gap_sec * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(user_col, "__split").orderBy(*order)
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    local = df.withColumn(
+        "__split", F.date_trunc(split_by, F.col(ts_col).cast("timestamp"))
+    ).withColumn(
+        "__local_idx",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    summary = local.groupBy(user_col, "__split").agg(
+        F.min(us).alias("__first_us"),
+        F.max(us).alias("__last_us"),
+        F.max("__local_idx").alias("__n_local"),
+    )
+    wu = Window.partitionBy(user_col).orderBy("__split")
+    merged = summary.withColumn(
+        "__prev_last", F.lag("__last_us").over(wu)
+    ).withColumn(
+        "__merge",
+        F.when(
+            F.col("__prev_last").isNotNull()
+            & ((F.col("__first_us") - F.col("__prev_last")) <= gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    offsets = merged.select(
+        user_col,
+        "__split",
+        (
+            F.coalesce(
+                F.sum("__n_local").over(wu.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            - F.sum("__merge").over(
+                wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("__offset"),
+    )
+    return (
+        local.join(offsets, [user_col, "__split"])
+        .withColumn("session_idx", F.col("__offset") + F.col("__local_idx"))
+        .drop("__split", "__local_idx", "__offset")
+    )
+
+
 def session_stats(
     df: DataFrame,
     user_col: str,
     ts_col: str,
     gap_sec: int = 1800,
     tiebreak_col: str | None = None,
+    split_by: str | None = None,
 ) -> DataFrame:
     """Per-session rollup over :func:`sessionize`: event count, start,
     duration. The groupBy reuses the window's hash partitioning on
-    ``user_col`` (no second full exchange under AQE)."""
-    s = sessionize(df, user_col, ts_col, gap_sec, tiebreak_col)
+    ``user_col`` (no second full exchange under AQE). ``split_by``
+    selects sessionize's hot-user scale path; the rollup is identical."""
+    s = sessionize(df, user_col, ts_col, gap_sec, tiebreak_col, split_by)
     dur_us = F.unix_micros(F.max(ts_col).cast("timestamp")) - F.unix_micros(
         F.min(ts_col).cast("timestamp")
     )
@@ -427,9 +518,21 @@ def token_budget_sample(
     pre-agg pass, no join). Buckets are few by construction (mix specs
     name dozens of buckets, not millions), so per-bucket sort skew is
     the same documented concern as :func:`stratified_sample`'s, with the
-    same pre-cut remedy. Adds ``n_tokens`` and ``cum_before``."""
+    same pre-cut remedy.
+
+    ``n_tokens`` and ``cum_before`` are RESERVED output columns — the
+    call raises if the input already has either, rather than silently
+    overwriting caller data (the same stance the ``__``-prefixed
+    temporaries take elsewhere, made explicit here because these two are
+    part of the output contract)."""
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    clash = {"n_tokens", "cum_before"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has reserved output column(s) {sorted(clash)}; "
+            "rename them before token_budget_sample"
+        )
     w = Window.partitionBy(bucket_col).orderBy(
         sample_hash(F.col(id_col), salt), F.col(id_col)
     )
