@@ -160,6 +160,33 @@ def minhash_signature(shingle_col, num_hashes: int = 64, hash_family: str = "xxh
     return F.array(*[lane(seed) for seed in range(num_hashes)])
 
 
+def band_hash_array(sig_col, num_hashes: int, bands: int, hash_family: str = "xxhash64"):
+    """The LSH banding expression: ``bands`` hashes, band b = hash of the
+    comma-joined minhash lanes in rows b*r..(b+1)*r. Shared by the batch
+    candidate generator (:func:`minhash_lsh_candidates`) and the
+    streaming near-dedup (streaming/dedup.py) so both sides provably
+    agree on what a band collision is. Pure built-ins — codegen in batch,
+    and valid inside a streaming projection."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    band_hash = F.xxhash64 if hash_family == "xxhash64" else F.md5
+    return F.array(
+        *[
+            band_hash(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(sig_col, b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -207,25 +234,10 @@ def _lsh_pairs_from_sigs(
     :func:`minhash_lsh_candidates` (computes signatures inline) and
     :func:`minhash_estimates` (persists signatures so the estimate join
     reuses them)."""
-    rows_per_band = num_hashes // bands
-    band_hash = F.xxhash64 if hash_family == "xxhash64" else F.md5
     banded = sigs.select(
         "doc",
         F.posexplode(
-            F.array(
-                *[
-                    band_hash(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
+            band_hash_array(F.col("sig"), num_hashes, bands, hash_family)
         ).alias("band", "band_hash"),
     )
     buckets = (

@@ -7,6 +7,7 @@ from xmlschema_spark.streaming.stateful import cumulative_verdicts  # noqa: F401
 from xmlschema_spark.streaming.dedup import (  # noqa: F401
     drop_duplicates_stream,
     exact_dedup_stream,
+    near_dedup_stream,
 )
 from xmlschema_spark.streaming.drift import windowed_divergence, windowed_psi  # noqa: F401
 from xmlschema_spark.streaming.stats import (  # noqa: F401
