@@ -121,6 +121,56 @@ def test_asof_dims_derived_from_facts(spark):
 
 
 @pytest.mark.parametrize("strategy", ["broadcast", "union"])
+def test_asof_duplicate_snapshot_deterministic(spark, facts, strategy):
+    # two snapshots share (user_id, snap_ts) with different payloads —
+    # the winner must be content-stable (max xxhash64 of the row) and
+    # IDENTICAL across strategies, partitionings, and repeated runs
+    rows = [
+        (10, "2024-01-01", "bronze"),
+        (10, "2024-01-01", "copper"),  # duplicate timestamp, different tier
+        (10, "2024-01-10", "silver"),
+    ]
+    dup_dims = (
+        spark.createDataFrame(rows, "user_id long, d string, tier string")
+        .select("user_id", F.to_timestamp("d").alias("snap_ts"), "tier")
+    )
+    expected_t0 = (
+        dup_dims.filter(F.col("snap_ts") == "2024-01-01")
+        .select("tier", F.xxhash64("snap_ts", "tier").alias("h"))
+        .orderBy(F.col("h").desc())
+        .first()
+        .tier
+    )
+    for reps in range(2):  # repeated runs agree
+        for parts in (1, 7):  # partitioning-independent
+            out = asof_join(
+                facts.repartition(parts),
+                dup_dims.repartition(parts),
+                "user_id",
+                "ts",
+                "snap_ts",
+                strategy=strategy,
+            )
+            got = {r.event_id: r.tier for r in out.collect()}
+            assert got == {
+                1: expected_t0,
+                2: expected_t0,
+                3: "silver",
+                4: None,
+                5: None,
+                6: "silver",
+            }
+
+
+def test_asof_exact_duplicate_rows_harmless(spark, facts, dims):
+    # full-row duplicates (same payload) must not change the result
+    doubled = dims.unionByName(dims)
+    for strategy in ("broadcast", "union"):
+        out = asof_join(facts, doubled, "user_id", "ts", "snap_ts", strategy=strategy)
+        assert {r.event_id: r.tier for r in out.collect()} == EXPECTED
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
 def test_asof_empty_dims_all_null(spark, facts, strategy):
     dims = spark.createDataFrame([], "user_id long, snap_ts timestamp, tier string")
     out = asof_join(facts, dims, "user_id", "ts", "snap_ts", strategy=strategy).collect()

@@ -66,11 +66,25 @@ def asof_join(
     snapshot's value for that column, where the broadcast path would
     carry the NULL. Snapshots with all-non-null payloads (the normal
     case) behave identically on both paths.
+
+    Duplicate snapshots — two dim rows sharing the same ``(key,
+    dim_ts)`` — resolve DETERMINISTICALLY and identically on both
+    paths: the winner is the row with the greatest
+    ``xxhash64(dim_ts, *payload)`` (an arbitrary but stable total
+    order over the tied rows' contents). Exact full-row duplicates are
+    therefore harmless; distinct payloads at one timestamp get a
+    content-stable pick rather than a partitioning-dependent one.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     payload = [c for c in dims.columns if c not in keys and c != dim_ts]
+    # stable tiebreak among snapshots sharing (key, dim_ts): hash of the
+    # row contents, so both strategies — and any partitioning — agree
+    tie = F.xxhash64(F.col(dim_ts), *[F.col(c) for c in payload])
     if strategy == "broadcast":
-        w = Window.partitionBy(*keys).orderBy(dim_ts)
+        # ties sort by content hash: every tied row except the max-tie
+        # one gets an EMPTY interval (its lead() is the same dim_ts), so
+        # exactly the max-tie snapshot is visible to facts
+        w = Window.partitionBy(*keys).orderBy(F.col(dim_ts), tie)
         # string-qualified aliases, not DataFrame[col] references: dims
         # are often DERIVED from the fact table (snapshot rollups), and
         # shared-lineage column objects misresolve in a self-join — the
@@ -102,6 +116,7 @@ def asof_join(
             *[F.lit(None).cast(dims.schema[c].dataType).alias(c) for c in payload],
             F.lit(1).alias("__tag"),
             F.col(fact_ts).alias("__ts"),
+            F.lit(0).cast("long").alias("__tie"),
         )
         d_side = dims.select(
             *[
@@ -112,10 +127,15 @@ def asof_join(
             *[F.col(c) for c in payload],
             F.lit(0).alias("__tag"),
             F.col(dim_ts).alias("__ts"),
+            tie.alias("__tie"),
         )
+        # __tie orders only tied dim rows (facts all carry 0 and sort
+        # after dims at equal ts via __tag): among tied snapshots the
+        # max-tie row sorts LAST, so last(ignorenulls) picks it — the
+        # same winner the broadcast path keeps
         w = (
             Window.partitionBy(*keys)
-            .orderBy("__ts", "__tag")
+            .orderBy("__ts", "__tag", "__tie")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         filled = f_side.unionByName(d_side)
@@ -123,7 +143,7 @@ def asof_join(
             filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
         return (
             filled.filter(F.col("__tag") == 1)
-            .drop("__tag", "__ts")
+            .drop("__tag", "__ts", "__tie")
             .withColumnRenamed("__dts", dim_ts)
         )
     raise ValueError(f"strategy must be 'broadcast' or 'union', got {strategy!r}")
