@@ -5,11 +5,14 @@ violation rows. The reference's nearest mechanism is its lazy single-pass
 iterparse (resources.py:544-590) — subtree-at-a-time with bounded state;
 ours is partition-at-a-time with durable state.
 
-Design (works identically against Iceberg; here the sinks are parquet
-directories because Iceberg jars aren't in the container — the layout
-``.../violations/part=<p>/`` matches an identity-partitioned Iceberg
-table, and ``dynamic`` partition-overwrite gives the same idempotent
-per-partition replace semantics as an Iceberg overwrite-by-filter):
+Design (sink format is pluggable: ``sink_format="parquet"`` (default)
+writes partitioned directories; ``sink_format="iceberg"`` writes
+identity-partitioned Iceberg tables via the DataFrameWriterV2
+``overwritePartitions()`` — the same idempotent per-partition replace,
+with real snapshot/time-travel semantics on a lakehouse. The parquet
+layout ``.../violations/partition_id=<p>/`` mirrors the Iceberg
+identity partitioning exactly, and ``dynamic`` partition-overwrite
+gives the same replace semantics, so both formats share one design):
 
 - state table: one JSON line per (run_id, partition_id) with status,
   metrics, lineage (input fingerprint + ruleset hash).
@@ -42,27 +45,77 @@ def _ruleset_hash(ruleset: RuleSet) -> str:
     return hashlib.sha256(ruleset.to_json().encode()).hexdigest()[:16]
 
 
+def _write_partitioned(df: DataFrame, target: str, sink_format: str) -> None:
+    """Idempotent per-partition replace of ``partition_id`` partitions:
+    parquet uses mode=overwrite + partitionOverwriteMode=dynamic (set by
+    the caller's session); iceberg uses DataFrameWriterV2
+    ``overwritePartitions()`` — the v2 expression of exactly the same
+    contract — creating the identity-partitioned table on first write."""
+    if sink_format == "parquet":
+        (
+            df.write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(target)
+        )
+    elif sink_format == "iceberg":
+        spark = df.sparkSession
+        if spark.catalog.tableExists(target):
+            df.writeTo(target).overwritePartitions()
+        else:
+            df.writeTo(target).partitionedBy(F.col("partition_id")).create()
+    else:
+        raise ValueError(
+            f"sink_format must be 'parquet' or 'iceberg', got {sink_format!r}"
+        )
+
+
 @dataclass
 class CheckpointedRun:
     engine: ValidationEngine
     base_dir: str
     run_id: str
+    #: "parquet" (default — directory sinks under base_dir) or "iceberg"
+    #: (base_dir is then a catalog namespace, e.g. "ice.db", and each sink
+    #: is a table "<namespace>.<run_id>_<sink>"). Requires the Iceberg
+    #: runtime jars + a configured catalog; the parquet default needs
+    #: nothing. Driver-side state stays a JSON-lines file either way
+    #: (state_dir overrides its location for iceberg runs).
+    sink_format: str = "parquet"
+    state_dir: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.sink_format not in ("parquet", "iceberg"):
+            raise ValueError(
+                f"sink_format must be 'parquet' or 'iceberg', got {self.sink_format!r}"
+            )
+        if self.sink_format == "iceberg" and self.state_dir is None:
+            raise ValueError(
+                "sink_format='iceberg' makes base_dir a catalog namespace; "
+                "pass state_dir=<local/shared dir> for the state.jsonl file"
+            )
+
+    def _target(self, sink: str) -> str:
+        if self.sink_format == "iceberg":
+            safe = "".join(c if c.isalnum() else "_" for c in self.run_id)
+            return f"{self.base_dir}.{safe}_{sink}"
+        return str(Path(self.base_dir) / self.run_id / sink)
 
     @property
     def state_path(self) -> Path:
-        return Path(self.base_dir) / self.run_id / "state.jsonl"
+        root = self.state_dir if self.state_dir is not None else self.base_dir
+        return Path(root) / self.run_id / "state.jsonl"
 
     @property
     def violations_dir(self) -> str:
-        return str(Path(self.base_dir) / self.run_id / "violations")
+        return self._target("violations")
 
     @property
     def verdicts_dir(self) -> str:
-        return str(Path(self.base_dir) / self.run_id / "verdicts")
+        return self._target("verdicts")
 
     @property
     def stats_dir(self) -> str:
-        return str(Path(self.base_dir) / self.run_id / "stats")
+        return self._target("stats")
 
     # ----------------------------------------------------------------- state
 
@@ -128,25 +181,21 @@ class CheckpointedRun:
             eng = ValidationEngine(batch_rules, self.engine.id_col, part_col)
             result = eng.validate(sub, run_id=self.run_id, secondary=secondary, with_stats=False)
             t0 = time.time()
-            (
-                result.violations.repartition("partition_id")
-                .write.mode("overwrite")
-                .partitionBy("partition_id")
-                .parquet(self.violations_dir)
+            _write_partitioned(
+                result.violations.repartition("partition_id"),
+                self.violations_dir,
+                self.sink_format,
             )
-            result.verdicts.write.mode("overwrite").partitionBy("partition_id").parquet(
-                self.verdicts_dir
-            )
+            _write_partitioned(result.verdicts, self.verdicts_dir, self.sink_format)
             if with_stats:
                 # scope column renamed to partition_id so the sink layout
                 # (.../stats/partition_id=<p>/) matches the other sinks and
                 # dynamic overwrite replaces exactly the re-run partitions
-                (
+                _write_partitioned(
                     stats_ops.partition_sketches(sub, scope_col=part_col)
-                    .withColumnRenamed("scope", "partition_id")
-                    .write.mode("overwrite")
-                    .partitionBy("partition_id")
-                    .parquet(self.stats_dir)
+                    .withColumnRenamed("scope", "partition_id"),
+                    self.stats_dir,
+                    self.sink_format,
                 )
             result.unpersist()  # release per-batch caches before the next batch
             elapsed = time.time() - t0
@@ -174,13 +223,10 @@ class CheckpointedRun:
         if len(table_rules):
             eng = ValidationEngine(table_rules, self.engine.id_col, self.engine.partition_col)
             result = eng.validate(df, run_id=self.run_id, secondary=secondary, with_stats=False)
-            (
-                result.violations.withColumn(
-                    "partition_id", F.lit("__table__")
-                )
-                .write.mode("overwrite")
-                .partitionBy("partition_id")
-                .parquet(self.violations_dir)
+            _write_partitioned(
+                result.violations.withColumn("partition_id", F.lit("__table__")),
+                self.violations_dir,
+                self.sink_format,
             )
             result.unpersist()
         self._append_state(
@@ -189,16 +235,21 @@ class CheckpointedRun:
 
     # --------------------------------------------------------------- readers
 
+    def _read(self, spark, target: str) -> DataFrame:
+        if self.sink_format == "iceberg":
+            return spark.read.table(target)
+        return spark.read.parquet(target)
+
     def violations(self, spark) -> DataFrame:
-        return spark.read.parquet(self.violations_dir)
+        return self._read(spark, self.violations_dir)
 
     def verdicts(self, spark) -> DataFrame:
-        return spark.read.parquet(self.verdicts_dir)
+        return self._read(spark, self.verdicts_dir)
 
     def partition_stats(self, spark) -> DataFrame:
         """The durable per-partition metrics rows (run with
         ``with_stats=True`` first)."""
-        return spark.read.parquet(self.stats_dir)
+        return self._read(spark, self.stats_dir)
 
     def stats_profile(self, spark) -> DataFrame:
         """Table-level profile rolled up from the durable per-partition

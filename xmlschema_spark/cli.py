@@ -57,6 +57,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="checkpointed partition-batched run (re-entrant)")
     p.add_argument("--batch-size", type=int, default=8,
                    help="partitions per batch in --resume mode")
+    p.add_argument("--sink-format", default="parquet",
+                   choices=["parquet", "iceberg"],
+                   help="in --resume mode: parquet directory sinks (default) "
+                        "or Iceberg tables — --output is then a catalog "
+                        "namespace (e.g. ice.db) and --state-dir is required "
+                        "for the local state.jsonl")
+    p.add_argument("--state-dir",
+                   help="state.jsonl location when --sink-format iceberg")
     p.add_argument("--partition-stats", action="store_true",
                    help="in --resume mode, also persist durable mergeable "
                         "per-partition HLL metrics rows (Iceberg "
@@ -99,7 +107,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.resume:
         from xmlschema_spark.checkpoint import CheckpointedRun
-        run = CheckpointedRun(engine, args.output, args.run_id)
+        run = CheckpointedRun(engine, args.output, args.run_id,
+                              sink_format=args.sink_format,
+                              state_dir=args.state_dir)
         run.run(df, batch_size=args.batch_size, with_stats=args.partition_stats)
         run.finish(df)
         verdicts = run.verdicts(spark)
