@@ -198,8 +198,63 @@ def test_extract_frames_is_declared_stub(spark):
     df = spark.createDataFrame([("v1", b"xx")], "video_id string, bytes binary")
     frames = multimodal.extract_frames(df)
     assert [f.name for f in frames.schema.fields] == ["video_id", "frame_idx", "bytes"]
-    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+    with pytest.raises(Exception, match="NotImplementedError|decode_fn"):
         frames.collect()
+
+
+def test_extract_frames_with_pluggable_codec(spark):
+    from xmlschema_spark.operators import multimodal
+
+    def _fake_video_codec(data: bytes):
+        # deterministic fake: first byte = frame count; b"BAD" is corrupt
+        # (nested so cloudpickle ships it by value, as a user's codec
+        # wrapper would need to be importable on executors)
+        if data == b"BAD":
+            raise ValueError("corrupt container")
+        return [bytes([data[0], i]) for i in range(data[0])]
+
+    df = spark.createDataFrame(
+        [("a", bytes([7])), ("b", bytes([65])), ("c", b"BAD")],
+        "video_id string, bytes binary",
+    ).repartition(3)
+    out = multimodal.extract_frames(
+        df, every_n=30, decode_fn=_fake_video_codec
+    ).collect()
+    got = sorted((r.video_id, r.frame_idx) for r in out)
+    # a: frames 0..6 -> keep 0; b: 0..64 -> keep 0,30,60; c: dropped
+    assert got == [("a", 0), ("b", 0), ("b", 30), ("b", 60)]
+    by = {(r.video_id, r.frame_idx): bytes(r.bytes) for r in out}
+    assert by[("b", 30)] == bytes([65, 30])  # frame payload round-trips Arrow
+    with pytest.raises(ValueError, match="every_n"):
+        multimodal.extract_frames(df, every_n=0, decode_fn=_fake_video_codec)
+
+
+def test_audio_features_with_pluggable_codec(spark):
+    from xmlschema_spark.operators import multimodal
+
+    def _fake_audio_codec(data: bytes):
+        import numpy as np
+
+        if data == b"BAD":
+            raise ValueError("corrupt stream")
+        # alternating +-0.5, one sample per input byte, 2 Hz
+        n = len(data)
+        return (np.array([0.5 if i % 2 == 0 else -0.5 for i in range(n)]), 2)
+
+    df = spark.createDataFrame(
+        [("x", b"1234"), ("y", b"BAD")], "audio_id string, bytes binary"
+    )
+    out = {r.audio_id: r for r in multimodal.audio_features(
+        df, decode_fn=_fake_audio_codec
+    ).collect()}
+    x = out["x"]  # 4 samples at 2 Hz, alternating sign
+    assert x.decode_ok and x.duration_s == 2.0 and x.rms == 0.5 and x.peak == 0.5
+    assert x.zero_cross_rate == 1.0  # every adjacent pair flips sign
+    y = out["y"]
+    assert not y.decode_ok and y.rms == 0.0 and y.duration_s == 0.0
+    # stub path: plan builds, body raises
+    with pytest.raises(Exception, match="NotImplementedError|decode_fn"):
+        multimodal.audio_features(df).collect()
 
 
 def test_extract_features(spark):

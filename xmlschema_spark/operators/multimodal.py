@@ -270,20 +270,118 @@ def extract_features(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     return df.select(id_col, "bytes").mapInPandas(batches, schema=schema)
 
 
-def extract_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — STUB. The container has no video codec; the
-    Spark-side contract is: input (video_id, bytes), output one row per
-    sampled frame (video_id, frame_idx, bytes). Raises NotImplementedError
-    from the UDF body on first batch."""
-    schema = "video_id string, frame_idx int, bytes binary"
+def extract_frames(
+    df: DataFrame,
+    every_n: int = 30,
+    decode_fn=None,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Video frame sampling over a PLUGGABLE codec hook.
+
+    ``decode_fn(data: bytes) -> Iterable[bytes]`` yields the video's
+    encoded frames in order (e.g. a PyAV/ffmpeg wrapper on a real
+    cluster); it is pickled into the executor closure, so it must be a
+    module-level callable. Every ``every_n``-th frame (0, n, 2n, …) is
+    emitted as one output row ``(id_col, frame_idx, bytes)``. A video
+    that fails to decode (``decode_fn`` raises ``ValueError``)
+    contributes zero rows — downstream coverage checks (count of
+    distinct ids in vs out) surface the drops, matching the
+    decode-verdict pattern of the image suite.
+
+    With ``decode_fn=None`` (this sandbox has no video codec) the
+    operator is a declared stub: the plan builds — schema, Arrow batch
+    shape, and partitioning are real — but the UDF body raises
+    ``NotImplementedError`` on its first non-empty batch.
+
+    Scale shape: ``mapInPandas`` over only (id, bytes) — column-pruned
+    scan, one Arrow crossing per video, one output DataFrame per input
+    row so a long video never accumulates all its frames in memory
+    alongside its neighbours'.
+    """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    schema = f"{id_col} string, frame_idx int, bytes binary"
+    cols = [id_col, "frame_idx", "bytes"]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in it:
-            raise NotImplementedError(
-                "video decode requires ffmpeg/av — not available in this environment"
-            )
-        return
-        yield  # generator marker; empty partitions yield nothing (a bare
-        #        yield would emit None and trip the Arrow serializer first)
+        for pdf in it:
+            if decode_fn is None:
+                raise NotImplementedError(
+                    "video decode requires a codec: pass decode_fn="
+                    "(bytes -> iterable of frame bytes), e.g. a PyAV wrapper"
+                )
+            for row in pdf.itertuples(index=False):
+                rid = getattr(row, id_col)
+                try:
+                    frames = decode_fn(getattr(row, bytes_col))
+                except ValueError:
+                    continue
+                out = [
+                    (rid, i, f) for i, f in enumerate(frames) if i % every_n == 0
+                ]
+                if out:
+                    yield pd.DataFrame(out, columns=cols)
 
-    return df.mapInPandas(batches, schema=schema)
+    return df.select(id_col, bytes_col).mapInPandas(batches, schema=schema)
+
+
+def audio_features(
+    df: DataFrame,
+    decode_fn=None,
+    id_col: str = "audio_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Per-clip audio feature extraction over a pluggable codec hook —
+    the audio twin of :func:`image_features`.
+
+    ``decode_fn(data: bytes) -> (samples, sample_rate)`` returns a 1-D
+    float numpy array of mono PCM samples plus the rate (e.g. a
+    soundfile/ffmpeg wrapper). Output: one row per clip with
+    ``duration_s``, ``rms`` (loudness), ``peak``, ``zero_cross_rate``
+    (crude voicing/noisiness proxy) and ``decode_ok``; undecodable
+    clips (``ValueError``) keep their row with ``decode_ok=false`` and
+    zeroed features, so the operator is row-preserving and feeds the
+    same verdict machinery as the image suite.
+
+    With ``decode_fn=None`` the UDF body raises ``NotImplementedError``
+    on the first non-empty batch (no audio codec in this sandbox); the
+    Spark-side plumbing is real and unit-tested with a fake codec.
+    """
+    schema = (
+        f"{id_col} string, duration_s double, rms double, peak double, "
+        "zero_cross_rate double, decode_ok boolean"
+    )
+    cols = [id_col, "duration_s", "rms", "peak", "zero_cross_rate", "decode_ok"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decode_fn is None:
+                raise NotImplementedError(
+                    "audio decode requires a codec: pass decode_fn="
+                    "(bytes -> (mono float ndarray, sample_rate))"
+                )
+            rows = []
+            for row in pdf.itertuples(index=False):
+                rid = getattr(row, id_col)
+                try:
+                    samples, rate = decode_fn(getattr(row, bytes_col))
+                except ValueError:
+                    rows.append((rid, 0.0, 0.0, 0.0, 0.0, False))
+                    continue
+                s = np.asarray(samples, dtype=np.float64)
+                n = s.size
+                zcr = float(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1]))) / max(n - 1, 1)
+                rows.append(
+                    (
+                        rid,
+                        float(n) / float(rate),
+                        float(np.sqrt(np.mean(s * s))) if n else 0.0,
+                        float(np.abs(s).max()) if n else 0.0,
+                        zcr,
+                        True,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bytes_col).mapInPandas(batches, schema=schema)
