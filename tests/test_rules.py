@@ -148,3 +148,72 @@ def test_restriction_rejects_dropped_inherited_facet():
     base = _rs(Rule("b1", "pattern", "s", {"patterns": ["[a-z]+"]}))
     with pytest.raises(RuleCompileError, match="must reappear"):
         _rs(Rule("d1", "min_length", "s", {"value": 1})).check_restriction_of(base)
+
+
+# ------------------------------------------------- rule-table META-validation
+
+
+def test_meta_ruleset_accepts_all_bundled_rulesets(spark):
+    from xmlschema_spark.sources.rules_loader import (
+        default_image_ruleset,
+        meta_ruleset,
+        validate_rules_document,
+    )
+
+    for rs in (default_image_ruleset(), meta_ruleset()):  # self-hosting
+        res = validate_rules_document(spark, rs)
+        assert res.violations.count() == 0
+        verdicts = res.verdicts.collect()
+        assert [v.status for v in verdicts] == ["PASS"]
+
+
+def test_meta_ruleset_flags_malformed_document(spark, tmp_path):
+    import json as _json
+
+    from xmlschema_spark.sources.rules_loader import validate_rules_document
+
+    doc = [
+        {"rule_id": "ok_rule", "kind": "not_null", "column": "x"},
+        {"rule_id": "ok_rule", "kind": "max", "column": "y",
+         "params": {"value": 3}},                       # duplicate rule_id
+        {"rule_id": "bad kind!", "kind": "frobnicate", "column": "x"},
+        {"rule_id": "bad_sev", "kind": "not_null", "column": "x",
+         "severity": "fatal"},
+        {"rule_id": "set_with_col", "kind": "unique", "column": "x",
+         "params": {"columns": ["x"]}},
+        {"rule_id": "row_no_col", "kind": "pattern"},
+        {"rule_id": "set_no_columns", "kind": "key",
+         "params": {"other": 1}},
+    ]
+    p = tmp_path / "bad_rules.json"
+    p.write_text(_json.dumps(doc))
+    res = validate_rules_document(spark, str(p))
+    got = {(r.rule_id, r.row_id) for r in res.violations.collect()}
+    assert ("meta_id_unique", "ok_rule") in got
+    assert ("meta_kind_known", "bad kind!") in got
+    assert ("meta_id_pattern", "bad kind!") in got
+    assert ("meta_severity_enum", "bad_sev") in got
+    assert ("meta_set_kind_no_column", "set_with_col") in got
+    assert ("meta_row_kind_has_column", "row_no_col") in got
+    assert ("meta_set_kind_has_columns_param", "set_no_columns") in got
+    # the well-formed rule contributes no violations
+    assert not any(row == "ok_rule" and rid != "meta_id_unique"
+                   for rid, row in got)
+    # row-scope defects fail the __rules__ partition verdict; the
+    # duplicate-id key constraint fails the __table__ verdict
+    statuses = {v.partition_id: v.status for v in res.verdicts.collect()}
+    assert statuses == {"__rules__": "FAIL", "__table__": "FAIL"}
+
+
+def test_meta_ruleset_counts_registered_custom_kinds(spark):
+    from xmlschema_spark import rules as rules_mod
+    from xmlschema_spark.sources.rules_loader import meta_ruleset
+
+    name = "meta_test_custom_kind"
+    rules_mod.register_rule_kind(name, lambda r: None)
+    try:
+        meta = meta_ruleset()
+        kind_rule = next(r for r in meta if r.rule_id == "meta_kind_known")
+        assert name in kind_rule.params["values"]
+    finally:
+        rules_mod.CUSTOM_ROW_KINDS.pop(name, None)

@@ -72,7 +72,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--restricts", metavar="BASE_RULES_JSON",
                    help="assert --rules is a valid derivation-by-restriction "
                         "of this base rule set, then exit (no Spark job)")
+    p.add_argument("--check-rules", metavar="RULES_JSON",
+                   help="validate a rules document against the bundled "
+                        "meta-ruleset (rules for rule tables — the "
+                        "meta-schema analog), print violations, and exit")
     args = p.parse_args(argv)
+
+    if args.check_rules:
+        from xmlschema_spark.session import get_spark
+        from xmlschema_spark.sources.rules_loader import validate_rules_document
+        spark = SparkSession.getActiveSession() or get_spark("xmlschema_spark_cli")
+        res = validate_rules_document(spark, args.check_rules)
+        viols = [
+            {"rule_id": r.rule_id, "offending_rule": r.row_id, "reason": r.reason}
+            for r in res.violations.collect()
+        ]
+        print(json.dumps({"rules_document": args.check_rules,
+                          "ok": not viols, "violations": viols}))
+        return 1 if viols else 0
 
     if args.restricts:
         from xmlschema_spark.sources.rules_loader import load_rules_json

@@ -55,6 +55,103 @@ def ruleset_from_df(df: DataFrame) -> RuleSet:
     return RuleSet(rules)
 
 
+def rules_json_to_df(spark: SparkSession, path: str | Path) -> DataFrame:
+    """LENIENT load of a rules JSON document into the rules-DF shape —
+    no ``Rule`` objects are constructed, so a malformed document (unknown
+    kind, bad severity, duplicate rule_id…) loads fine and its defects
+    become violation ROWS from :func:`validate_rules_document`, instead
+    of a Python exception at parse time. The strict path stays
+    :func:`load_rules_json`."""
+    raw = json.loads(Path(path).read_text())
+    rows = [
+        (
+            d.get("rule_id"),
+            d.get("kind"),
+            d.get("column"),
+            json.dumps(d["params"]) if d.get("params") is not None else None,
+            d.get("gate"),
+            d.get("scope"),
+            d.get("severity"),
+        )
+        for d in raw
+    ]
+    return spark.createDataFrame(rows, RULES_DF_SCHEMA)
+
+
+def meta_ruleset() -> RuleSet:
+    """Rules for rule tables — the engine's META-schema, expressed in the
+    engine's own rule language and validated by the engine itself (the
+    analog of the reference validating every schema document against its
+    bundled meta-schema, validators/schema.py:350-354,603-614). Built at
+    call time so kinds registered via ``register_rule_kind`` count as
+    known."""
+    from xmlschema_spark.rules import ALL_KINDS, CUSTOM_ROW_KINDS, SET_KINDS
+
+    kinds = sorted(ALL_KINDS | set(CUSTOM_ROW_KINDS))
+    set_kinds_sql = ", ".join(f"'{k}'" for k in sorted(SET_KINDS))
+    # row kinds that target a concrete column (assertion_sql and the
+    # dataset kinds carry their targets in params/sql instead)
+    columned = sorted(k for k in kinds if k not in SET_KINDS
+                      and k not in ("assertion_sql", "stats_profile"))
+    columned_sql = ", ".join(f"'{k}'" for k in columned)
+    R = Rule
+    return RuleSet(
+        [
+            R("meta_id_not_null", "not_null", "rule_id"),
+            R("meta_id_pattern", "pattern", "rule_id",
+              {"patterns": [r"[A-Za-z_][A-Za-z0-9_.\-]*"]}),
+            # UPA analog: one identity per rule — duplicate rule_ids are
+            # the violation, not a loader crash
+            R("meta_id_unique", "key", "", {"columns": ["rule_id"]}, scope="table"),
+            R("meta_kind_known", "enumeration", "rule_kind", {"values": kinds}),
+            R("meta_scope_enum", "enumeration", "scope",
+              {"values": ["row", "partition", "table"]},
+              gate="scope IS NOT NULL"),
+            R("meta_severity_enum", "enumeration", "severity",
+              {"values": ["error", "warning"]},
+              gate="severity IS NOT NULL"),
+            R("meta_params_json_object", "assertion_sql", "",
+              {"sql": "params IS NULL OR (params LIKE '{%' "
+                      "AND get_json_object(params, '$') IS NOT NULL)"}),
+            R("meta_set_kind_no_column", "assertion_sql", "",
+              {"sql": f"rule_kind IS NULL OR rule_kind NOT IN ({set_kinds_sql}) "
+                      "OR coalesce(`column`, '') = ''"}),
+            R("meta_row_kind_has_column", "assertion_sql", "",
+              {"sql": f"rule_kind IS NULL OR rule_kind NOT IN ({columned_sql}) "
+                      "OR coalesce(`column`, '') != ''"}),
+            R("meta_set_kind_has_columns_param", "assertion_sql", "",
+              {"sql": f"rule_kind IS NULL OR rule_kind NOT IN ({set_kinds_sql}) "
+                      "OR get_json_object(params, '$.columns[0]') IS NOT NULL"}),
+        ]
+    )
+
+
+def validate_rules_document(spark: SparkSession, source, run_id: str = "meta"):
+    """Validate a rules DOCUMENT against :func:`meta_ruleset` using the
+    ValidationEngine itself — declarative meta-validation a user can
+    extend by appending to the returned ruleset (vs the hardcoded
+    compile-time checks in rules.py, which still guard the strict path).
+
+    ``source``: a JSON path (loaded leniently via
+    :func:`rules_json_to_df`), a ``RuleSet``, or a DataFrame already in
+    the rules-DF shape. Returns the engine's ``ValidationResult``:
+    violations keyed by the offending ``rule_id``, one ``__rules__``
+    partition verdict."""
+    from pyspark.sql import functions as F
+
+    from xmlschema_spark.engine import ValidationEngine
+
+    if isinstance(source, (str, Path)):
+        df = rules_json_to_df(spark, source)
+    elif isinstance(source, RuleSet):
+        df = rules_to_df(spark, source)
+    else:
+        df = source
+    df = df.withColumn("part", F.lit("__rules__"))
+    eng = ValidationEngine(meta_ruleset(), id_col="rule_id", partition_col="part")
+    return eng.validate(df, run_id=run_id)
+
+
 def default_image_ruleset() -> RuleSet:
     """The engine's default constraint suite for the image+caption table —
     the analog of a complete XSD for it (FIXTURES.md §2 families)."""
