@@ -1277,6 +1277,45 @@ def _md5_long60_sql(arg: str) -> str:
     return "(" + "\n     + ".join(terms) + ")"
 
 
+def _phash_oracle() -> str:
+    """DuckDB replay of the full phash near-dup pipeline over the
+    deterministic _synth_phash column: signature synthesis, pigeonhole
+    chunking, hot-block cap, hamming filter. Shared by the standalone
+    phash_near_dups oracle and the cross-modal composition."""
+    return f"""
+WITH sig AS (
+  SELECT doc_id,
+    xor({_md5_long60_sql("'p:' || (doc_id % 40)")},
+        CASE doc_id % 4
+          WHEN 1 THEN (1::BIGINT << CAST(doc_id % 60 AS INTEGER))
+          WHEN 2 THEN (1::BIGINT << CAST(doc_id % 60 AS INTEGER))
+                    | (1::BIGINT << CAST((doc_id + 29) % 60 AS INTEGER))
+          WHEN 3 THEN 255::BIGINT
+          ELSE 0::BIGINT END) AS phash
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, phash, i AS chunk_idx, (phash >> (i * 16)) & 65535 AS chunk_val
+  FROM sig, generate_series(0, 3) AS t(i)
+),
+hot AS (
+  SELECT chunk_idx, chunk_val FROM chunks GROUP BY 1, 2 HAVING count(*) > 200
+),
+ok AS (
+  SELECT c.doc_id, c.phash, c.chunk_idx, c.chunk_val FROM chunks c
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.chunk_idx = c.chunk_idx AND h.chunk_val = c.chunk_val)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.phash AS ha, b.phash AS hb
+  FROM ok a JOIN ok b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
 def _synth_phash():
     """Deterministic 60-bit perceptual-hash stand-in, identically
     computable by DuckDB: base = md5-nibble long of the doc's dup-group
@@ -1313,6 +1352,25 @@ def q_phash_near_dups(spark, sf_dir):
     sig = df.select("doc_id", _synth_phash().alias("phash"))
     out = dedup_ops.phash_near_duplicates(sig, "phash", "doc_id", max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def q_crossmodal_near_dups(spark, sf_dir):
+    """Cross-modal near-dup pairs over the image+caption shape (the
+    north-star table): phash hamming <= 3 on the image side OR minhash
+    est_jaccard >= 0.5 on the caption side (policy='either'), with the
+    modality label. Both generators are the already-certified configs
+    (the synthetic phash column and the md5 minhash family), so the
+    oracle replays the ENTIRE composition — both pipelines plus the
+    full-outer combine — in one statement. policy='both' (the
+    conservative intersection) is pytest-covered on a fixture where the
+    intersection is non-empty (tiny here)."""
+    df = _t(spark, sf_dir, "documents", parallel=False)
+    est = _shared_minhash_est(spark, sf_dir)
+    src = df.select("doc_id", "text", _synth_phash().alias("phash"))
+    return dedup_ops.crossmodal_near_duplicates(
+        src, "text", "phash", "doc_id", policy="either",
+        max_hamming=3, est_threshold=0.5, estimates=est,
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1401,10 +1459,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novel_docs_batch": q_novel_docs_batch,
         "token_budget_docs": q_token_budget_docs,
         "phash_near_dups": q_phash_near_dups,
+        "crossmodal_near_dups": q_crossmodal_near_dups,  # NEW r04: image
+        # phash ∪ caption minhash near-dup, full composition oracled
         "asof_tier_events": q_asof_tier_events,
         "weighted_sample_docs": q_weighted_sample_docs,
-        "bounds_facets_lineitem": q_bounds_facets_lineitem,
         # -- past the window: unchanged since their certifying round ------
+        "bounds_facets_lineitem": q_bounds_facets_lineitem,  # r03 (facet
+        # family covered in-window by digits/duration/timezone/intl/union)
         "chi2_drift_events": q_chi2_drift_events,  # r03 (family stays covered
         # in-window by psi_drift_events + ks_exact_events)
         "unique_dups_scoped": q_unique_dups_scoped,  # r03 (family covered by
@@ -2789,37 +2850,19 @@ c AS (
 )
 SELECT doc_id, lang, n_tokens, cum_before FROM c WHERE cum_before < 2000
 """,
-        "phash_near_dups": f"""
-WITH sig AS (
-  SELECT doc_id,
-    xor({_md5_long60_sql("'p:' || (doc_id % 40)")},
-        CASE doc_id % 4
-          WHEN 1 THEN (1::BIGINT << CAST(doc_id % 60 AS INTEGER))
-          WHEN 2 THEN (1::BIGINT << CAST(doc_id % 60 AS INTEGER))
-                    | (1::BIGINT << CAST((doc_id + 29) % 60 AS INTEGER))
-          WHEN 3 THEN 255::BIGINT
-          ELSE 0::BIGINT END) AS phash
-  FROM documents
-),
-chunks AS (
-  SELECT doc_id, phash, i AS chunk_idx, (phash >> (i * 16)) & 65535 AS chunk_val
-  FROM sig, generate_series(0, 3) AS t(i)
-),
-hot AS (
-  SELECT chunk_idx, chunk_val FROM chunks GROUP BY 1, 2 HAVING count(*) > 200
-),
-ok AS (
-  SELECT c.doc_id, c.phash, c.chunk_idx, c.chunk_val FROM chunks c
-  WHERE NOT EXISTS (SELECT 1 FROM hot h
-                    WHERE h.chunk_idx = c.chunk_idx AND h.chunk_val = c.chunk_val)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.phash AS ha, b.phash AS hb
-  FROM ok a JOIN ok b
-    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+        "phash_near_dups": _phash_oracle(),
+        "crossmodal_near_dups": f"""
+WITH img AS ({_phash_oracle()}),
+txt AS (
+  SELECT id_a, id_b, est_jaccard
+  FROM ({_minhash_md5_oracle(est=True)})
+  WHERE est_jaccard >= 0.5
 )
-SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
-FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+SELECT id_a, id_b, i.hamming, t.est_jaccard,
+  CASE WHEN i.hamming IS NOT NULL AND t.est_jaccard IS NOT NULL THEN 'both'
+       WHEN i.hamming IS NOT NULL THEN 'image'
+       ELSE 'text' END AS modality
+FROM img i FULL OUTER JOIN txt t USING (id_a, id_b)
 """,
         "asof_tier_events": """
 WITH u AS (SELECT DISTINCT user_id FROM events),

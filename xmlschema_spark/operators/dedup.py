@@ -697,3 +697,92 @@ def drop_near_duplicates(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def crossmodal_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    phash_col: str,
+    id_col: str,
+    policy: str = "either",
+    max_hamming: int = 3,
+    est_threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket_size: int = 200,
+    max_block_size: int | None = 200,
+    chunk_bits: int = 16,
+    hash_family: str = "xxhash64",
+    estimates: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-modal near-duplicate pairs over an image+caption table
+    (input_hint shape: ``phash:int64`` + ``caption:string``): the image
+    side mines the stored perceptual hash via the pigeonhole-blocked
+    hamming join (:func:`phash_near_duplicates`), the caption side mines
+    text via minhash LSH + lane-agreement Jaccard estimate
+    (:func:`minhash_estimates` filtered at ``est_threshold``), and the
+    two pair sets are combined per ``policy``:
+
+    - ``'either'`` (default): a pair is near-dup if EITHER modality
+      matches — the aggressive crawl-dedup setting (same photo with a
+      rewritten alt-text, or the same caption on a recompressed image,
+      both get suppressed). Full outer join of the two pair sets.
+    - ``'both'``: near-dup only when BOTH modalities agree — the
+      conservative setting that never drops a genuine (new image, reused
+      caption) or (new caption, reused image) pair. Inner join.
+
+    Output: (id_a, id_b, hamming, est_jaccard, modality) with id_a <
+    id_b; ``hamming``/``est_jaccard`` are NULL for pairs found by the
+    other modality only, ``modality`` ∈ {'image','text','both'}. Feed
+    into :func:`connected_components` / :func:`drop_near_duplicates`
+    exactly like the single-modality generators.
+
+    Scale shape: both generators are independently bounded (LSH bucket
+    cap, pigeonhole block cap), so the final join runs on two pair-scale
+    tables orders of magnitude smaller than the corpus; no stage touches
+    O(n²). The corpus is scanned twice (once per modality) — at 10^12
+    rows that beats one fused scan because the image side never needs
+    the caption bytes in its shuffle and vice versa.
+
+    ``estimates``: pass a precomputed :func:`minhash_estimates` result
+    (caller-owned, NOT unpersisted here) to share one estimate table
+    across several consumers; the lane/band params are then ignored and
+    the returned plan is lazy. Without it the estimate is computed
+    internally and the result is materialized eagerly (persist + count)
+    so the intermediate can be released — call ``.unpersist()`` on the
+    RETURNED DataFrame when done (same contract as
+    :func:`minhash_estimates` / :func:`jaccard_pairs`)."""
+    if policy not in ("either", "both"):
+        raise ValueError("policy must be 'either' or 'both'")
+    img = hamming_near_duplicates(
+        df, phash_col, id_col,
+        max_hamming=max_hamming, chunk_bits=chunk_bits,
+        max_block_size=max_block_size,
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+    owned = estimates is None
+    est = estimates if estimates is not None else minhash_estimates(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_k=shingle_k, max_bucket_size=max_bucket_size,
+        hash_family=hash_family,
+    )
+    txt = est.filter(F.col("est_jaccard") >= est_threshold).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+    how = "inner" if policy == "both" else "full_outer"
+    out = img.join(txt, ["id_a", "id_b"], how).select(
+        "id_a",
+        "id_b",
+        "hamming",
+        "est_jaccard",
+        F.when(F.col("hamming").isNotNull() & F.col("est_jaccard").isNotNull(),
+               F.lit("both"))
+        .when(F.col("hamming").isNotNull(), F.lit("image"))
+        .otherwise(F.lit("text"))
+        .alias("modality"),
+    )
+    if owned:
+        out = out.persist()
+        out.count()  # materialize so the estimate table can be released
+        est.unpersist()
+    return out
