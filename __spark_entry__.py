@@ -283,6 +283,17 @@ def q_jsd_drift_events(spark, sf_dir):
     return scores.select("event_type", F.round("jsd", 6).alias("jsd"))
 
 
+def q_w1_drift_events(spark, sf_dir):
+    """Wasserstein-1 (earth mover's) drift of `value` per event_type vs
+    whole table — the drift metric expressed in the UNITS of the column
+    (mean transport distance between the binned distributions), so
+    thresholds are physically interpretable; same single-aggregation
+    histogram shape as PSI/chi2/JSD."""
+    df = _t(spark, sf_dir, "events", parallel=False)
+    scores = drift_ops.divergence(df, "value", "event_type", metric="w1", bins=10)
+    return scores.select("event_type", F.round("w1", 3).alias("w1"))
+
+
 def q_doc_rule_counts(spark, sf_dir):
     """length / enumeration / fixed / pattern / assertion facets on documents."""
     rs = RuleSet(
@@ -1415,6 +1426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_customer": q_quantiles_customer,
         "psi_drift_events": q_psi_drift_events,
         "ks_exact_events": q_ks_exact_events,
+        "w1_drift_events": q_w1_drift_events,  # NEW r04: Wasserstein-1,
+        # the units-of-the-column drift metric
         # facet / builtin-type representatives
         "doc_rule_counts": q_doc_rule_counts,
         "nested_rules_docs": q_nested_rules_docs,
@@ -1422,7 +1435,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "digits_lineitem": q_digits_lineitem,
         "timezone_events": q_timezone_events,
         "intl_names_events": q_intl_names_events,
-        "union_type_events": q_union_type_events,
         # dedup / text / pipelines
         "exact_dedup_docs": q_exact_dedup_docs,
         "pipeline_clean_docs": q_pipeline_clean_docs,
@@ -1465,7 +1477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         # -- past the window: unchanged since their certifying round ------
         "bounds_facets_lineitem": q_bounds_facets_lineitem,  # r03 (facet
-        # family covered in-window by digits/duration/timezone/intl/union)
+        # family covered in-window by digits/duration/timezone/intl)
+        "union_type_events": q_union_type_events,  # r03 (builtin-type
+        # family covered in-window by duration/timezone/digits/nested)
         "chi2_drift_events": q_chi2_drift_events,  # r03 (family stays covered
         # in-window by psi_drift_events + ks_exact_events)
         "unique_dups_scoped": q_unique_dups_scoped,  # r03 (family covered by
@@ -2005,6 +2019,44 @@ FROM skeleton s
 LEFT JOIN part_p p ON p.event_type = s.event_type AND p.b = s.b
 LEFT JOIN ref_hist r ON r.b = s.b
 GROUP BY s.event_type
+""",
+        "w1_drift_events": """
+WITH bounds AS (
+  SELECT min(value)::DOUBLE AS lo, max(value)::DOUBLE AS hi FROM events
+),
+bucketed AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(floor((value - lo) / (CASE WHEN hi - lo = 0 THEN 1.0 ELSE hi - lo END) * 10) AS BIGINT), 0), 9) AS b
+  FROM events, bounds WHERE value IS NOT NULL
+),
+ref_hist AS (
+  SELECT b, count(*)::DOUBLE / (SELECT count(*) FROM bucketed) AS ref_p
+  FROM bucketed GROUP BY b
+),
+part_hist AS (
+  SELECT event_type, b, count(*)::DOUBLE AS n FROM bucketed GROUP BY event_type, b
+),
+part_p AS (
+  SELECT event_type, b, n / SUM(n) OVER (PARTITION BY event_type) AS p
+  FROM part_hist
+),
+skeleton AS (
+  SELECT DISTINCT e.event_type, g.b
+  FROM events e, (SELECT unnest(generate_series(0, 9)) AS b) g
+),
+cum AS (
+  SELECT s.event_type, s.b,
+         SUM(coalesce(p.p, 0) - coalesce(r.ref_p, 0))
+           OVER (PARTITION BY s.event_type ORDER BY s.b) AS cumdiff
+  FROM skeleton s
+  LEFT JOIN part_p p ON p.event_type = s.event_type AND p.b = s.b
+  LEFT JOIN ref_hist r ON r.b = s.b
+)
+SELECT event_type,
+       round(SUM(abs(cumdiff))
+             * (SELECT (CASE WHEN hi - lo = 0 THEN 1.0 ELSE hi - lo END) / 10
+                FROM bounds), 3) AS w1
+FROM cum GROUP BY event_type
 """,
         "chi2_drift_events": """
 WITH bounds AS (

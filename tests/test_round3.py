@@ -228,7 +228,7 @@ def test_divergence_distributed_fallback_matches_driver_path(spark):
     from xmlschema_spark.operators import drift
 
     df = _drift_df(spark)
-    for metric in ("chi2", "jsd"):
+    for metric in ("chi2", "jsd", "w1"):
         fast = {r.part: r[metric] for r in drift.divergence(df, "v", "part", metric=metric).collect()}
         dist = {
             r.part: r[metric]

@@ -109,3 +109,52 @@ def test_sessions_split_query_agrees_with_single_window(spark, unit):
     key = lambda r: (r.user_id, r.session_idx)  # noqa: E731
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len({key(r) for r in a}) == len(a)
+
+
+# -------------------------------------------------- w1 (Wasserstein) drift
+
+
+def test_divergence_w1_matches_numpy(spark):
+    """w1 against a hand-rolled numpy computation of the binned
+    earth-mover formula: sum |cumsum(p - q)| * bin_width, UNsmoothed."""
+    import numpy as np
+
+    from xmlschema_spark.operators import drift
+
+    rows = [("stable", float(i % 50)) for i in range(200)]
+    rows += [("shifted", 40.0 + (i % 10)) for i in range(100)]
+    rows.append(("allnull", None))
+    df = spark.createDataFrame(rows, "part string, v double")
+    got = {r.part: r.w1 for r in drift.divergence(df, "v", "part", metric="w1").collect()}
+
+    vals = df.collect()
+    lo, hi, bins = 0.0, 49.0, 10
+    def hist(vs):
+        c = np.zeros(bins)
+        for v in vs:
+            c[min(max(int((v - lo) / (hi - lo) * bins), 0), bins - 1)] += 1
+        return c
+    all_v = [r.v for r in vals if r.v is not None]
+    q = hist(all_v) / len(all_v)
+    for part in ("stable", "shifted"):
+        pv = [r.v for r in vals if r.part == part and r.v is not None]
+        p = hist(pv) / len(pv)
+        expect = float(np.sum(np.abs(np.cumsum(p - q))) * ((hi - lo) / bins))
+        assert got[part] == pytest.approx(expect, rel=1e-9)
+    # w1 is in the units of v: the shifted partition's mass sits tens of
+    # units from the mix, the stable one's within a few
+    assert got["shifted"] > got["stable"]
+    assert got["shifted"] > 5.0
+    # all-null partition = full transport distance vs reference (> 0,
+    # unlike chi2's zero-sample zero: there IS no matching distribution)
+    assert got["allnull"] > 0.0
+
+
+def test_divergence_w1_zero_for_identical_distribution(spark):
+    from xmlschema_spark.operators import drift
+
+    rows = [(p, float(i % 20)) for p in ("a", "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "part string, v double")
+    got = {r.part: r.w1 for r in drift.divergence(df, "v", "part", metric="w1").collect()}
+    assert got["a"] == pytest.approx(0.0, abs=1e-12)
+    assert got["b"] == pytest.approx(0.0, abs=1e-12)

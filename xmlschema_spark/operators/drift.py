@@ -165,16 +165,26 @@ def divergence(
       ``½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)`` with ``m = (p+q)/2`` —
       symmetric, bounded [0, ln 2], comparable across partitions of any
       size.
+    - ``"w1"`` — first Wasserstein (earth mover's) distance between the
+      binned distributions, ``Σ_b |CDF_p(b) − CDF_q(b)| · bin_width`` —
+      the only metric here expressed in the UNITS OF ``column`` ("the
+      partition's values sit on average 3.2 units away from reference"),
+      which makes thresholds physically interpretable and, unlike
+      PSI/chi2/JSD, penalizes far-apart mass more than adjacent-bucket
+      wobble. Needs no epsilon smoothing (cumulative differences are
+      finite with zero masses).
 
-    Same smoothing convention as :func:`psi`: both histograms are laid on
-    the full ``bins`` grid and epsilon-shifted, so a bucket with mass on
-    only one side contributes a finite term. Same execution shape too:
-    ONE distributed (partition, bucket) count aggregation, metric
-    arithmetic driver-side in numpy on the tiny histogram, distributed
-    SQL fallback above ``max_collected_cells``. ``reference=None``
-    compares each partition against the whole table.
+    chi2/jsd use the same smoothing convention as :func:`psi`: both
+    histograms are laid on the full ``bins`` grid and epsilon-shifted, so
+    a bucket with mass on only one side contributes a finite term. Same
+    execution shape for all metrics: ONE distributed (partition, bucket)
+    count aggregation, metric arithmetic driver-side in numpy on the tiny
+    histogram, distributed SQL fallback above ``max_collected_cells``
+    (w1's fallback adds a per-partition cumulative-sum window over the
+    ``bins``-row grid before the final agg). ``reference=None`` compares
+    each partition against the whole table.
     """
-    if metric not in ("chi2", "jsd"):
+    if metric not in ("chi2", "jsd", "w1"):
         raise ValueError(f"unknown divergence metric {metric!r}")
     ref = reference if reference is not None else df
     lo, hi = df.agg(
@@ -217,13 +227,17 @@ def divergence(
                 counts[int(r["__bucket"])] += r["__n"]
                 if reference is None:
                     ref_counts[int(r["__bucket"])] += r["__n"]
-        q = (ref_counts / max(ref_counts.sum(), 1)) + _EPS
+        q0 = ref_counts / max(ref_counts.sum(), 1)
+        q = q0 + _EPS
         out = []
         for part, counts in parts.items():
             n_part = counts.sum()
-            p = (counts / max(n_part, 1)) + _EPS
+            p0 = counts / max(n_part, 1)
+            p = p0 + _EPS
             if metric == "chi2":
                 val = float(n_part * np.sum((p - q) ** 2 / q))
+            elif metric == "w1":
+                val = float(np.sum(np.abs(np.cumsum(p0 - q0))) * (span / bins))
             else:
                 m = (p + q) / 2.0
                 val = float(
@@ -267,6 +281,17 @@ def divergence(
         skeleton.join(part_hist, [partition_col, "__bucket"], "left")
         .join(ref_hist.select("__bucket", "ref_p"), "__bucket", "left")
     )
+    if metric == "w1":
+        # cumulative CDF gap per bucket, then one agg — the window runs
+        # over the bins-row grid per partition key, not over raw rows
+        cum = F.sum(
+            F.coalesce(F.col("p"), F.lit(0.0)) - F.coalesce(F.col("ref_p"), F.lit(0.0))
+        ).over(Window.partitionBy(partition_col).orderBy("__bucket"))
+        return (
+            joined.withColumn("__cumdiff", cum)
+            .groupBy(partition_col)
+            .agg((F.sum(F.abs(F.col("__cumdiff"))) * F.lit(span / bins)).alias(metric))
+        )
     p = F.coalesce(F.col("p"), F.lit(0.0)) + F.lit(_EPS)
     q = F.coalesce(F.col("ref_p"), F.lit(0.0)) + F.lit(_EPS)
     n_part = F.coalesce(F.max("n_part"), F.lit(0))
