@@ -24,6 +24,7 @@ from xmlschema_spark.operators import curation as cur_ops
 from xmlschema_spark.operators import dedup as dedup_ops
 from xmlschema_spark.operators import drift as drift_ops
 from xmlschema_spark.operators import identity as id_ops
+from xmlschema_spark.operators import layout as layout_ops
 from xmlschema_spark.operators import multimodal as mm_ops
 from xmlschema_spark.operators import similarity as sim_ops
 from xmlschema_spark.operators import stats as stats_ops
@@ -1365,6 +1366,61 @@ def q_phash_near_dups(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_zorder_span_events(spark, sf_dir):
+    """Z-order data-layout audit: Morton-interleave the (user_id, value)
+    deciles-of-1024 grid, split the key-ordered table into 16 file
+    stand-ins via the DISTRIBUTED two-phase global rank, and report each
+    file's per-dimension min/max span — the quantity that determines
+    Iceberg/parquet file-skipping effectiveness for multi-predicate
+    scans. The oracle replays the bit interleave, the total order and
+    the bucket arithmetic verbatim."""
+    df = _t(spark, sf_dir, "events", parallel=False)
+    src = df.select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("u10"),
+        F.least(F.floor("value").cast("long"), F.lit(1023)).alias("v10"),
+    ).withColumn("zkey", layout_ops.zorder_key("u10", "v10", bits=10))
+    rep = layout_ops.layout_span_report(
+        src, ["u10", "v10"], "zkey", buckets=16, tiebreak_col="event_id"
+    )
+    return rep.select("bucket", "n", "u10_min", "u10_max", "v10_min", "v10_max")
+
+
+def _zorder_oracle() -> str:
+    """DuckDB replay of zorder_key (bit interleave: u10 bit j → 2j, v10
+    bit j → 2j+1) + layout_span_report (global rank over (zkey,
+    event_id), floor((rank-1)·16/total) bucketing, per-bucket spans).
+    Generated, not hand-written."""
+    terms = []
+    for j in range(10):
+        terms.append(f"(((u10 >> {j}) & 1) << {2 * j})")
+        terms.append(f"(((v10 >> {j}) & 1) << {2 * j + 1})")
+    z = "\n       | ".join(terms)
+    return f"""
+WITH q AS (
+  SELECT event_id, user_id % 1024 AS u10,
+         LEAST(CAST(floor(value) AS BIGINT), 1023) AS v10
+  FROM events
+),
+k AS (
+  SELECT event_id, u10, v10,
+         {z} AS zkey
+  FROM q
+),
+r AS (
+  SELECT u10, v10,
+         row_number() OVER (ORDER BY zkey, event_id) AS rn,
+         count(*) OVER () AS total
+  FROM k
+)
+SELECT CAST(floor((rn - 1) * 16 / total) AS INTEGER) AS bucket,
+       count(*)::BIGINT AS n,
+       min(u10) AS u10_min, max(u10) AS u10_max,
+       min(v10) AS v10_min, max(v10) AS v10_max
+FROM r GROUP BY 1
+"""
+
+
 def q_crossmodal_near_dups(spark, sf_dir):
     """Cross-modal near-dup pairs over the image+caption shape (the
     north-star table): phash hamming <= 3 on the image side OR minhash
@@ -1461,9 +1517,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_docs": q_pii_docs,
         "repetition_docs": q_repetition_docs,
         "decontam_docs": q_decontam_docs,
-        "sessions_events": q_sessions_events,
         "sessions_split_events": q_sessions_split_events,  # NEW r04: hot-user
-        # scale path certified against the single-window oracle
+        # scale path certified against the single-window oracle (its
+        # agreement with the single-window sessions_events is
+        # pytest-proven on the same fixture data)
         "image_suite_rowrules": q_image_suite_rowrules,  # NEW r04: the image
         # suite's SQL-expressible row-rule subset, full DuckDB oracle
         "heavy_hitters_events": q_heavy_hitters_events,
@@ -1473,6 +1530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dups": q_phash_near_dups,
         "crossmodal_near_dups": q_crossmodal_near_dups,  # NEW r04: image
         # phash ∪ caption minhash near-dup, full composition oracled
+        "zorder_span_events": q_zorder_span_events,  # NEW r04: Z-order
+        # layout key + distributed file-span audit
         "asof_tier_events": q_asof_tier_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         # -- past the window: unchanged since their certifying round ------
@@ -1480,6 +1539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family covered in-window by digits/duration/timezone/intl)
         "union_type_events": q_union_type_events,  # r03 (builtin-type
         # family covered in-window by duration/timezone/digits/nested)
+        "sessions_events": q_sessions_events,  # local-mirror certified;
+        # family covered in-window by sessions_split_events, whose
+        # agreement with this single-window variant is pytest-proven
         "chi2_drift_events": q_chi2_drift_events,  # r03 (family stays covered
         # in-window by psi_drift_events + ks_exact_events)
         "unique_dups_scoped": q_unique_dups_scoped,  # r03 (family covered by
@@ -2903,6 +2965,7 @@ c AS (
 SELECT doc_id, lang, n_tokens, cum_before FROM c WHERE cum_before < 2000
 """,
         "phash_near_dups": _phash_oracle(),
+        "zorder_span_events": _zorder_oracle(),
         "crossmodal_near_dups": f"""
 WITH img AS ({_phash_oracle()}),
 txt AS (
