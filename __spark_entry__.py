@@ -813,6 +813,17 @@ def q_fingerprint_md5_docs(spark, sf_dir):
     return df.select("doc_id", text_ops.fingerprint_md5(F.col("text")).alias("fp"))
 
 
+def q_dup_spans_docs(spark, sf_dir):
+    """Exact duplicated substring SPANS inside otherwise-unique docs
+    (Lee et al. 2022 semantics): maximal char ranges whose every 20-gram
+    occurs in >= 2 distinct documents. The oracle replays the whole
+    pipeline — gram expansion, distinct-doc gate, gaps-and-islands merge
+    — on the raw substrings, so a hash match certifies both the gram
+    arithmetic and the xxhash64-for-string substitution."""
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return dedup_ops.duplicate_spans(df, "text", "doc_id", k=20, min_docs=2)
+
+
 def q_minhash_pairs_docs(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (banded xxhash64 signatures)."""
     df = _t(spark, sf_dir, "documents")
@@ -1494,9 +1505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / text / pipelines
         "exact_dedup_docs": q_exact_dedup_docs,
         "pipeline_clean_docs": q_pipeline_clean_docs,
-        "fingerprint_docs": q_fingerprint_docs,  # the ONE rows-only entry:
-        # xxhash64 production fingerprint (oracle-certified md5 sibling
-        # fingerprint_md5_docs sits past the window, unchanged since r03)
+        "dup_spans_docs": q_dup_spans_docs,  # NEW r04: substring-span
+        # dedup (Lee et al. 2022) — full gram/island pipeline oracled
         "minhash_est_docs": q_minhash_est_docs,
         "near_dedup_minhash_keep": q_near_dedup_minhash_keep,
         "simhash_md5_dups_docs": q_simhash_md5_dups_docs,
@@ -1569,6 +1579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": q_quality_docs,  # r03
         "fingerprint_md5_docs": q_fingerprint_md5_docs,  # r03
         "minhash_md5_pairs_docs": q_minhash_md5_pairs_docs,  # r03
+        "fingerprint_docs": q_fingerprint_docs,  # rows-only by necessity
+        # (xxhash64 — no DuckDB equivalent); production variant of the
+        # r03-certified fingerprint_md5_docs above, same winnowing pipeline
         # pandas-UDF decode queries: rows-only by necessity (golden-manifest
         # tested; the SQL-expressible row-rule subset is certified in-window
         # via image_suite_rowrules), driver rows-checked in r02
@@ -2729,6 +2742,28 @@ FROM inter
 JOIN sizes sa ON sa.doc = id_a
 JOIN sizes sb ON sb.doc = id_b
 WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
+""",
+        "dup_spans_docs": """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 20 + 2)) AS p
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 20
+),
+grams AS (SELECT doc_id, p, substring(text, p::INT, 20) AS g FROM pos),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, p FROM grams JOIN dup USING (g)),
+brk AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER w <= 20 THEN 0 ELSE 1 END AS b
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+isl AS (
+  SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS i
+  FROM brk
+)
+SELECT doc_id, min(p)::BIGINT AS span_start,
+       (max(p) + 19)::BIGINT AS span_end,
+       (max(p) + 19 - min(p) + 1)::BIGINT AS span_len
+FROM isl GROUP BY doc_id, i
 """,
         "cosine_topk_embeddings": """
 WITH scored AS (

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "ks_exact_events",            # pure-Catalyst exact KS (counts + window cumsums)
     "exact_dedup_docs",           # hash-groupBy dedup
     "dedup_keep_docs",            # keep-representative dedup (window top-1)
+    "dup_spans_docs",             # duplicated substring spans (gram agg + islands)
     "minhash_pairs_docs",         # minhash LSH band join
     "simhash_dups_docs",          # JVM-side simhash bit-votes + pigeonhole join
     "jaccard_pairs_docs",         # inverted-index exact jaccard

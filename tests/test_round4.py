@@ -86,12 +86,15 @@ def test_certification_window_composition():
     oracles = entry.oracle_sql()
     window = qs[:50]
     no_oracle = [q for q in window if q not in oracles]
-    assert no_oracle == ["fingerprint_docs"], no_oracle
+    assert no_oracle == [], no_oracle
     assert "image_suite_rowrules" in window
     assert "sessions_split_events" in window
+    assert "dup_spans_docs" in window
     # past-window entries must all have been driver-certified before
-    # (image/pandas-UDF queries excepted: rows-only by necessity)
-    rows_only_ok = {"image_suite_verdicts", "image_decode_stats", "image_features"}
+    # (image/pandas-UDF queries and the xxhash64 fingerprint excepted:
+    # rows-only by necessity, each with an oracle-certified sibling)
+    rows_only_ok = {"image_suite_verdicts", "image_decode_stats",
+                    "image_features", "fingerprint_docs"}
     past = [q for q in qs[50:] if q not in oracles and q not in rows_only_ok]
     assert past == [], past
 

@@ -786,3 +786,159 @@ def crossmodal_near_duplicates(
         out.count()  # materialize so the estimate table can be released
         est.unpersist()
     return out
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    min_docs: int = 2,
+    stride: int = 1,
+) -> DataFrame:
+    """Exact substring-span dedup: maximal character spans whose every
+    ``k``-gram also appears in at least ``min_docs - 1`` OTHER documents
+    — the span-level twin of :func:`exact_duplicates` (whole-doc) and
+    :func:`minhash_lsh_candidates` (whole-doc approximate). This is the
+    "duplicated training text occurs INSIDE otherwise-unique documents"
+    case (boilerplate headers, license blocks, quoted passages) that
+    whole-document dedup can't see.
+
+    Semantics (char grams, 1-based positions like ``substring``):
+
+    1. every position ``p ∈ {1, 1+stride, ...}`` with ``p + k - 1 <=
+       length(text)`` emits the gram ``substring(text, p, k)``;
+    2. a gram is *duplicated* when it occurs in >= ``min_docs`` DISTINCT
+       documents (within-doc repeats alone don't qualify);
+    3. per document, duplicated-gram positions are merged into maximal
+       spans: two hits ``p1 < p2`` share a span iff ``p2 - p1 <= k``
+       (their windows overlap or touch), i.e. the classic
+       gaps-and-islands rule. Output span covers ``[span_start,
+       span_end]`` inclusive.
+
+    Returns (``id_col``, span_start, span_end, span_len), all longs.
+
+    Plan shape: the gram generation is ONE whole-stage-codegen projection
+    (``transform(sequence(...)) → xxhash64(substring(...))`` — grams
+    leave the scan as 8-byte longs, never as strings) followed by an
+    explode; the duplicated-gram set is one hash agg on the gram hash
+    (partial count-distinct below the exchange); the join back is an
+    equi-join on the same 8-byte key whose output is bounded by the
+    total gram count (each occurrence matches at most once); the merge
+    is one window per doc (sort-based, spill-safe) + one reusing hash
+    agg. Nothing is O(n²) and no string longer than ``k`` bytes enters
+    any shuffle.
+
+    Scale knobs: ``stride > 1`` cuts gram volume by ``stride``× — with
+    window ``k >= 2*stride - 1`` every duplicated run of length ``k +
+    stride - 1`` is still caught (span boundaries then quantize to the
+    stride grid; positions stay exact for stride=1, the certified
+    setting). Grams are compared by ``xxhash64`` (same 64-bit-collision
+    assumption as the minhash/fingerprint families: ~n²/2^64,
+    negligible below 10^9 distinct grams per comparison domain).
+
+    Reference analog: xs:unique applied to overlapping substring tuples
+    rather than field tuples (identities.py:198-221); the dedup
+    semantics follow Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), re-expressed as hash-agg + island
+    merge instead of a suffix array."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    grams = (
+        df.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col).alias("__doc"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {k} + 1,"
+                    f" {stride}), p -> struct(p AS pos,"
+                    f" xxhash64(substring({text_col}, p, {k})) AS gh))"
+                )
+            ).alias("__g"),
+        )
+        .select(
+            "__doc",
+            F.col("__g.pos").cast("long").alias("__pos"),
+            F.col("__g.gh").alias("__gh"),
+        )
+    )
+    dup = (
+        grams.groupBy("__gh")
+        .agg(F.countDistinct("__doc").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__gh")
+    )
+    hits = grams.join(dup, "__gh").select("__doc", "__pos")
+    w = Window.partitionBy("__doc").orderBy("__pos")
+    brk = (
+        F.when(F.col("__pos") - F.lag("__pos").over(w) <= k, F.lit(0))
+        .otherwise(F.lit(1))  # first row per doc: lag NULL -> new island
+    )
+    islands = hits.withColumn("__brk", brk).withColumn(
+        "__isl",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("__doc", "__isl")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+def trim_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str = "trimmed",
+) -> DataFrame:
+    """Cut every duplicated span (as produced by :func:`duplicate_spans`
+    — non-overlapping, 1-based inclusive) out of ``text_col``, keeping
+    the inter-span remainder. ALL occurrences are removed, in every
+    document (the C4-style policy: duplicated boilerplate contributes
+    zero training tokens — contrast :func:`drop_near_duplicates`, which
+    keeps one whole-document representative).
+
+    Adds ``out_col`` next to the original schema; docs with no spans
+    pass through with ``out_col == text_col``.
+
+    Plan shape: spans collapse to one (doc, sorted span array) row via a
+    hash agg (span counts per doc are small — they're bounded by
+    length/k), broadcast-or-shuffle equi-joined back on the id, and the
+    cut itself is a single JVM-side ``aggregate`` fold over the span
+    array (no UDF, no explode): the accumulator carries (chars consumed,
+    kept-text) and each step appends the slice between the previous
+    span's end and the next span's start."""
+    spans_by_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
+    )
+    joined = df.join(spans_by_doc, id_col, "left")
+    cut = F.expr(
+        f"aggregate(__spans, struct(CAST(0 AS BIGINT) AS last,"
+        f" CAST('' AS STRING) AS acc),"
+        f" (s, sp) -> struct(sp.span_end AS last,"
+        f" concat(s.acc, substring({text_col}, CAST(s.last + 1 AS INT),"
+        f" CAST(sp.span_start - s.last - 1 AS INT))) AS acc),"
+        f" s -> concat(s.acc, substring({text_col},"
+        f" CAST(s.last + 1 AS INT), length({text_col}))))"
+    )
+    return joined.withColumn(
+        out_col,
+        F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(cut),
+    ).drop("__spans")
