@@ -997,6 +997,22 @@ def q_embedding_near_dups(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup (cluster-then-dedup-within-cell) in the certified
+    fixed-seed-Voronoi mode: centroids are the first 8 non-null vectors in
+    id order, so the WHOLE pipeline — cell assignment (argmax cosine to
+    the centroid set, ties by centroid index), within-cell lower-id
+    near-neighbor (cos >= 0.4), min-dup-of, keep flag — is replayed in
+    SQL. The production kmeans mode shares every plan node; only the
+    centroid VALUES differ (same literal-broadcast + Arrow matmul
+    assignment), so this certifies the code path end to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.4,
+        n_clusters=8, centroid_mode="seed",
+    )
+
+
 def q_lsh_topk_embeddings(spark, sf_dir):
     """Banded-LSH bucketed ANN top-k checked against the exact-cosine
     oracle: 2 planes × 32 bands yields overwhelming-probability full
@@ -1516,7 +1532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity / embeddings
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # NEW r04:
+        # SemDeDup cluster-then-dedup, fixed-seed Voronoi mode fully oracled
         "embedding_near_dups": q_embedding_near_dups,
         # general aggregation / join
         "pricing_summary": q_pricing_summary,
@@ -1582,6 +1599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,  # rows-only by necessity
         # (xxhash64 — no DuckDB equivalent); production variant of the
         # r03-certified fingerprint_md5_docs above, same winnowing pipeline
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,  # driver-r02 hash;
+        # moved past window r04 for semantic_dedup_embeddings (ANN family
+        # stays covered in-window by cosine_topk + ivf_topk)
         # pandas-UDF decode queries: rows-only by necessity (golden-manifest
         # tested; the SQL-expressible row-rule subset is certified in-window
         # via image_suite_rowrules), driver rows-checked in r02
@@ -2806,6 +2826,36 @@ ranked AS (
 )
 SELECT query_id, id, round(cosine, 4) AS cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 5
+""",
+        "semantic_dedup_embeddings": """
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND list_sum(list_transform(embedding, x -> x * x)) > 0
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY id) AS cid, v AS cvec
+  FROM e ORDER BY id LIMIT 8
+),
+sim AS (
+  SELECT e.id, c.cid,
+         row_number() OVER (
+           PARTITION BY e.id
+           ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cid ASC
+         ) AS rn
+  FROM e CROSS JOIN cents c
+),
+a AS (SELECT s.id, s.cid::INT AS cid FROM sim s WHERE rn = 1),
+dups AS (
+  SELECT x.id, min(y.id)::BIGINT AS dup_of
+  FROM a x JOIN a y ON x.cid = y.cid AND y.id < x.id
+  JOIN e ex ON ex.id = x.id
+  JOIN e ey ON ey.id = y.id
+  WHERE list_cosine_similarity(ex.v, ey.v) >= 0.4
+  GROUP BY x.id
+)
+SELECT a.id, a.cid, d.dup_of, d.dup_of IS NULL AS keep
+FROM a LEFT JOIN dups d ON d.id = a.id
 """,
         "embedding_near_dups": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

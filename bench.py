@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "jaccard_pairs_docs",         # inverted-index exact jaccard
     "cosine_topk_embeddings",     # brute-force ANN baseline
     "ivf_topk_embeddings",        # IVF inverted-list ANN (scale path)
+    "semantic_dedup_embeddings",  # SemDeDup: cell assign + within-cell dedup
     # lsh_topk_embeddings stays out of the bench: the oracle-certified
     # config is deliberately exhaustive (2 planes x 32 bands = full
     # recall), so its cost is not representative of a production config

@@ -90,6 +90,7 @@ def test_certification_window_composition():
     assert "image_suite_rowrules" in window
     assert "sessions_split_events" in window
     assert "dup_spans_docs" in window
+    assert "semantic_dedup_embeddings" in window
     # past-window entries must all have been driver-certified before
     # (image/pandas-UDF queries and the xxhash64 fingerprint excepted:
     # rows-only by necessity, each with an oracle-certified sibling)

@@ -10,6 +10,9 @@
   per-(seed, band, dim) projection constants; no per-row Python).
 - ``embedding_near_duplicates`` — all-pairs cosine ≥ t within LSH buckets
   (near-dup dedup for embeddings).
+- ``semantic_dedup`` — SemDeDup (Abbas et al. 2023): coarse k-means (or
+  fixed-seed Voronoi) cells, then lower-id-wins cosine dedup WITHIN each
+  cell — the cluster bounds the quadratic.
 """
 
 from __future__ import annotations
@@ -362,3 +365,130 @@ def embedding_near_duplicates(
         "id_a", "id_b", _dot(F.col("ua"), F.col("ub")).alias("cosine")
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    centroid_mode: str = "kmeans",
+    sample_size: int = 4096,
+    seed: int = 7,
+    max_cluster_size: int = 5000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space coarsely,
+    then deduplicate WITHIN each cluster — a row is a semantic duplicate
+    when some other same-cluster row with a SMALLER id has cosine >=
+    ``threshold`` to it. Clustering bounds the quadratic: pair generation
+    is per-cluster, never corpus x corpus (the difference between SemDeDup
+    and plain :func:`embedding_near_duplicates` is that the candidate
+    generator is a semantic Voronoi cell rather than an LSH bucket — the
+    paper's observation is that semantic duplicates land in the same cell
+    at far coarser k than LSH needs planes).
+
+    Returns one row per non-null input vector: (``id_col``, cid, dup_of,
+    keep) — ``dup_of`` is the SMALLEST same-cluster id within threshold
+    (NULL if none), ``keep = dup_of IS NULL``. Deterministic: the keep set
+    is exactly "rows with no lower-id in-cell neighbor", no iteration
+    order involved.
+
+    ``centroid_mode``:
+
+    - ``"kmeans"`` (production): driver-side Lloyd on a bounded sample —
+      same machinery as :func:`ivf_topk`. Not oracle-expressible (the
+      iteration is numpy), so certified via the mode below.
+    - ``"seed"`` (certified): centroids are the unit vectors of the FIRST
+      ``n_clusters`` non-null rows in id order — a fixed-seed Voronoi
+      partition, byte-replayable in SQL (argmax over cosine to a
+      deterministic centroid set, ties broken by centroid index — numpy
+      argmax and ``row_number() ... ORDER BY sim DESC, cid ASC`` pick the
+      same winner). Same plan shape as kmeans mode: only the centroid
+      VALUES differ.
+
+    Scale shape: one bounded driver collect (k or sample_size rows), ONE
+    corpus pass assigning cells via the Arrow-batched matmul of
+    :func:`_centroid_assign` — the assignment is persisted because four
+    consumers read it (hot-cell count, both self-join sides, the final
+    projection) and each would otherwise re-cross the Arrow boundary —
+    then one self-equi-join on cid (AQE handles cell skew; cells above
+    ``max_cluster_size`` are excluded from pairing — a skew guard, not a
+    semantics choice: their members are kept and flagged, raise
+    n_clusters to split them), one min-agg, one left join back. The join
+    payload carries unit vectors only for candidate pairs inside one
+    cell. Like :func:`~xmlschema_spark.operators.dedup.jaccard_pairs`,
+    the result is materialized eagerly (persist + count) so the
+    assignment cache is released before returning; call ``.unpersist()``
+    on the RETURNED DataFrame when done with it.
+
+    Reference analog: xs:unique scoped to a PARENT ELEMENT rather than the
+    whole table (identities.py:198-221 — scope decomposition before the
+    uniqueness check is exactly the cluster-then-dedup decomposition)."""
+    if centroid_mode not in ("kmeans", "seed"):
+        raise ValueError(f"centroid_mode must be 'kmeans' or 'seed', got {centroid_mode!r}")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    u = with_normalized(
+        df.select(F.col(id_col).alias("id"), vec_col), vec_col, "u"
+    ).filter(F.col("u").isNotNull()).select("id", "u")
+
+    if centroid_mode == "seed":
+        rows = (
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .filter(F.col(vec_col).isNotNull())
+            .orderBy("id")
+            .limit(n_clusters)
+            .collect()
+        )
+        raw = np.array([r.v for r in rows], dtype=np.float64)
+    else:
+        raw = np.array(
+            [
+                r[0]
+                for r in df.select(F.col(vec_col))
+                .filter(F.col(vec_col).isNotNull())
+                .limit(sample_size)
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+    norms = np.linalg.norm(raw, axis=1, keepdims=True) if len(raw) else np.empty((0, 1))
+    keep_rows = norms[:, 0] > 0
+    sample = raw[keep_rows] / norms[keep_rows]
+    if len(sample) == 0:
+        return u.select(
+            "id",
+            F.lit(None).cast("int").alias("cid"),
+            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(True).alias("keep"),
+        )
+    k = min(n_clusters, len(sample))
+    centroids = sample[:k] if centroid_mode == "seed" else _kmeans(sample, k, seed=seed)
+
+    assigned = u.withColumn(
+        "cid", _centroid_assign(F.col("u"), centroids)
+    ).persist()
+    hot = (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_cluster_size)
+        .select("cid")
+    )
+    pairable = assigned.join(F.broadcast(hot), "cid", "left_anti")
+    a, b = pairable.alias("a"), pairable.alias("b")
+    dups = (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("b.id") < F.col("a.id")))
+        .filter(_dot(F.col("a.u"), F.col("b.u")) >= threshold)
+        .groupBy(F.col("a.id").alias("id"))
+        .agg(F.min(F.col("b.id")).alias("dup_of"))
+    )
+    out = (
+        assigned.select("id", "cid")
+        .join(dups, "id", "left")
+        .select("id", "cid", "dup_of", F.col("dup_of").isNull().alias("keep"))
+        .persist()
+    )
+    out.count()  # materialize so the assignment cache can be released
+    assigned.unpersist()
+    return out
