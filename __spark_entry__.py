@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from xmlschema_spark.engine import ValidationEngine
+from xmlschema_spark.operators import checks as checks_ops
 from xmlschema_spark.operators import curation as cur_ops
 from xmlschema_spark.operators import dedup as dedup_ops
 from xmlschema_spark.operators import drift as drift_ops
@@ -1467,6 +1468,131 @@ def q_crossmodal_near_dups(spark, sf_dir):
     )
 
 
+def q_header_check_images(spark, sf_dir):
+    """Zero-decode container-header validation (multimodal.header_check):
+    declared fmt/w/h vs the 12-byte header — magic, little-endian dims —
+    as PURE Catalyst expressions (hex + conv, whole-stage codegen; the
+    expensive Arrow decode UDF is reserved for pixel-level checks). Runs
+    over the committed fixture plus two crafted rows exercising the
+    truncated-header and unknown-magic rules; the oracle replays the hex
+    arithmetic byte-for-byte in DuckDB."""
+    df = spark.read.parquet(_IMG_FIXTURE).select(
+        "image_id", "bytes", "w", "h", "fmt", "part"
+    )
+    extra = spark.createDataFrame(
+        [
+            ("img_short", bytes.fromhex(_HDR_SHORT_HEX), 5, 5, "png", "px"),
+            ("img_alien", bytes.fromhex(_HDR_ALIEN_HEX), 3, 3, "png", "px"),
+        ],
+        "image_id string, bytes binary, w long, h long, fmt string, part string",
+    ).select(*[F.col(f.name).cast(f.dataType) for f in df.schema.fields])
+    return mm_ops.header_check(df.unionByName(extra), part_col="part")
+
+
+# crafted header-rule rows, shared verbatim with the DuckDB oracle:
+# a payload shorter than the 12-byte header, and a foreign container
+# (GIF8 magic) with a well-formed length
+_HDR_SHORT_HEX = "58504E47FF"
+_HDR_ALIEN_HEX = "47494638" + "00" * 8
+
+
+def _header_check_oracle() -> str:
+    """DuckDB replay of multimodal.header_check: hex the blob once, slice
+    the magic, rebuild each little-endian u32 from its hex pairs.
+    Generated from the same codec.MAGIC table the operator uses."""
+    from xmlschema_spark.functions import codec as _codec
+
+    def le32(off: int) -> str:
+        terms = []
+        for i in range(4):
+            p = (off - 1 + i) * 2
+            terms.append(
+                f"(((strpos('0123456789ABCDEF', substring(hx,{p + 1},1))-1)*16"
+                f" + (strpos('0123456789ABCDEF', substring(hx,{p + 2},1))-1))"
+                f" * {256 ** i})"
+            )
+        return " + ".join(terms)
+
+    fmt_case = " ".join(
+        f"WHEN '{_codec.MAGIC[f].hex().upper()}' THEN '{f}'" for f in _codec.FORMATS
+    )
+    return f"""
+WITH t AS (
+  SELECT image_id, bytes, w, h, fmt, part
+  FROM read_parquet('@FIXTURE@')
+  UNION ALL SELECT 'img_short', unhex('{_HDR_SHORT_HEX}'), 5, 5, 'png', 'px'
+  UNION ALL SELECT 'img_alien', unhex('{_HDR_ALIEN_HEX}'), 3, 3, 'png', 'px'
+),
+e AS (
+  SELECT image_id, w, h, fmt, part, octet_length(bytes) AS blen,
+         hex(bytes) AS hx
+  FROM t WHERE bytes IS NOT NULL
+),
+f AS (
+  SELECT *, CASE substring(hx, 1, 8) {fmt_case} ELSE NULL END AS hfmt,
+         {le32(5)} AS hw, {le32(9)} AS hh
+  FROM e
+),
+v AS (
+  SELECT part, 'header_short' AS rule_id, image_id AS row_id,
+         'bytes' AS col FROM f WHERE blen < 12
+  UNION ALL
+  SELECT part, 'header_magic', image_id, 'bytes' FROM f
+   WHERE blen >= 12 AND hfmt IS NULL
+  UNION ALL
+  SELECT part, 'header_fmt_match', image_id, 'fmt' FROM f
+   WHERE blen >= 12 AND hfmt IS NOT NULL AND fmt IS NOT NULL AND fmt <> hfmt
+  UNION ALL
+  SELECT part, 'header_w_match', image_id, 'w' FROM f
+   WHERE blen >= 12 AND hfmt IS NOT NULL AND w IS NOT NULL AND w <> hw
+  UNION ALL
+  SELECT part, 'header_h_match', image_id, 'h' FROM f
+   WHERE blen >= 12 AND hfmt IS NOT NULL AND h IS NOT NULL AND h <> hh
+)
+SELECT part AS partition_id, rule_id, row_id, col AS "column",
+       'error' AS severity FROM v
+"""
+
+
+def q_fd_violations_lineitem(spark, sf_dir):
+    """Functional-dependency audit (checks.fd_violations): orders whose
+    line items ship on more than one distinct date — the determinant
+    l_orderkey mapping to n_values > 1 dependents, with min/max witness
+    values. One grouped agg; the shuffle carries distinct
+    (orderkey, shipdate) combinations, not rows."""
+    df = _t(spark, sf_dir, "lineitem", parallel=False)
+    return checks_ops.fd_violations(df, ["l_orderkey"], "l_shipdate")
+
+
+def q_time_gaps_events(spark, sf_dir):
+    """Silent-period detection (checks.time_gaps): per-user gaps longer
+    than 6 hours, exact integer microseconds. Runs the HOT-SCOPE SCALE
+    PATH (split_by='day': lag windows bounded to one user-day, plus a
+    second lag over the per-(user, day) min/max summary for gaps that
+    cross midnight) — the single-window oracle certifies that the split
+    decomposition loses and invents nothing."""
+    df = _t(spark, sf_dir, "events", parallel=False)
+    return checks_ops.time_gaps(df, "user_id", "ts", 6 * 3600, split_by="day")
+
+
+def q_volume_anomaly_events(spark, sf_dir):
+    """Per-partition volume verdicts (checks.volume_anomaly): daily event
+    counts flagged against the robust center of all days
+    (|n − median| > 3·MAD). One shuffle over the event table; the robust
+    stats run on the 30-row counts table via broadcast 1-row joins."""
+    df = _t(spark, sf_dir, "events", parallel=False).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = checks_ops.volume_anomaly(df, ["day"], k=3.0)
+    return out.select(
+        "day",
+        "n_rows",
+        F.round("med_n", 4).alias("med_n"),
+        F.round("mad_n", 4).alias("mad_n"),
+        "is_anomaly",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full facet + identity validation of lineitem at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1515,9 +1641,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rule_counts": q_doc_rule_counts,
         "nested_rules_docs": q_nested_rules_docs,
         "duration_events": q_duration_events,
-        "digits_lineitem": q_digits_lineitem,
-        "timezone_events": q_timezone_events,
-        "intl_names_events": q_intl_names_events,
+        # dataset-shape quality checks (round-4 additions)
+        "fd_violations_lineitem": q_fd_violations_lineitem,  # NEW r04:
+        # functional-dependency audit, one grouped agg
+        "time_gaps_events": q_time_gaps_events,  # NEW r04: silent-period
+        # detection, hot-scope split path certified vs single-window oracle
+        "volume_anomaly_events": q_volume_anomaly_events,  # NEW r04:
+        # robust per-partition volume verdicts (median ± 3·MAD)
         # dedup / text / pipelines
         "exact_dedup_docs": q_exact_dedup_docs,
         "pipeline_clean_docs": q_pipeline_clean_docs,
@@ -1531,7 +1661,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_keep_docs": q_near_dedup_keep_docs,
         # similarity / embeddings
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # NEW r04:
         # SemDeDup cluster-then-dedup, fixed-seed Voronoi mode fully oracled
         "embedding_near_dups": q_embedding_near_dups,
@@ -1550,6 +1679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-proven on the same fixture data)
         "image_suite_rowrules": q_image_suite_rowrules,  # NEW r04: the image
         # suite's SQL-expressible row-rule subset, full DuckDB oracle
+        "header_check_images": q_header_check_images,  # NEW r04: zero-decode
+        # container-header validation, pure Catalyst hex/conv, full oracle
         "heavy_hitters_events": q_heavy_hitters_events,
         "domain_cap_docs": q_domain_cap_docs,
         "novel_docs_batch": q_novel_docs_batch,
@@ -1562,8 +1693,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tier_events": q_asof_tier_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         # -- past the window: unchanged since their certifying round ------
+        "digits_lineitem": q_digits_lineitem,  # r03 (facet family covered
+        # in-window by duration_events + doc_rule_counts + nested_rules)
+        "timezone_events": q_timezone_events,  # r03 (same facet family)
+        "intl_names_events": q_intl_names_events,  # r03 (same facet family;
+        # pattern coverage also in-window via row_violations_orders)
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,  # r02 (ANN family
+        # covered in-window by cosine_topk + semantic_dedup + near_dups)
         "bounds_facets_lineitem": q_bounds_facets_lineitem,  # r03 (facet
-        # family covered in-window by digits/duration/timezone/intl)
+        # family covered in-window by duration/doc_rule_counts/nested)
         "union_type_events": q_union_type_events,  # r03 (builtin-type
         # family covered in-window by duration/timezone/digits/nested)
         "sessions_events": q_sessions_events,  # local-mirror certified;
@@ -1896,6 +2034,44 @@ SELECT partition_id, rule_id, row_id, col AS "column", sev AS severity FROM v
 def oracle_sql() -> dict[str, str]:
     sql = _oracle_sql_literals()
     sql["image_suite_rowrules"] = _IMG_ROWRULES_ORACLE.replace("@FIXTURE@", _IMG_FIXTURE)
+    sql["header_check_images"] = _header_check_oracle().replace("@FIXTURE@", _IMG_FIXTURE)
+    sql["fd_violations_lineitem"] = """
+SELECT l_orderkey,
+       count(DISTINCT l_shipdate)::BIGINT AS n_values,
+       min(l_shipdate) AS min_value,
+       max(l_shipdate) AS max_value
+FROM lineitem
+GROUP BY l_orderkey
+HAVING count(DISTINCT l_shipdate) > 1
+"""
+    # the hot-scope split decomposition must equal the plain per-scope lag
+    # rule EXACTLY — the oracle is the single-window form
+    sql["time_gaps_events"] = """
+WITH g AS (
+  SELECT user_id,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_start_us,
+         epoch_us(ts) AS gap_end_us
+  FROM events
+)
+SELECT user_id, gap_start_us, gap_end_us,
+       gap_end_us - gap_start_us AS gap_us
+FROM g
+WHERE gap_start_us IS NOT NULL
+  AND gap_end_us - gap_start_us > 21600::BIGINT * 1000000
+"""
+    sql["volume_anomaly_events"] = """
+WITH c AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n_rows
+  FROM events GROUP BY 1
+),
+m AS (SELECT quantile_cont(n_rows, 0.5) AS med FROM c),
+d AS (SELECT c.day, c.n_rows, m.med FROM c, m),
+a AS (SELECT quantile_cont(abs(n_rows - med), 0.5) AS mad FROM d)
+SELECT d.day, d.n_rows,
+       round(d.med, 4) AS med_n, round(a.mad, 4) AS mad_n,
+       abs(d.n_rows - d.med) > 3.0 * a.mad AS is_anomaly
+FROM d, a
+"""
     # the split path must equal the single-window rule EXACTLY — same oracle
     sql["sessions_split_events"] = sql["sessions_events"]
     sql["minhash_md5_pairs_docs"] = _minhash_md5_oracle()

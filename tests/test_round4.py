@@ -91,6 +91,10 @@ def test_certification_window_composition():
     assert "sessions_split_events" in window
     assert "dup_spans_docs" in window
     assert "semantic_dedup_embeddings" in window
+    assert "header_check_images" in window
+    assert "fd_violations_lineitem" in window
+    assert "time_gaps_events" in window
+    assert "volume_anomaly_events" in window
     # past-window entries must all have been driver-certified before
     # (image/pandas-UDF queries and the xxhash64 fingerprint excepted:
     # rows-only by necessity, each with an oracle-certified sibling)

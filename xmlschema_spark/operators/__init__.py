@@ -1,2 +1,2 @@
 """Set-level and dataset-level operators (identity, stats, drift, dedup,
-similarity, text, multimodal, curation, temporal, layout)."""
+similarity, text, multimodal, curation, temporal, layout, checks)."""

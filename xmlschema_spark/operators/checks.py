@@ -1,0 +1,177 @@
+"""Dataset-shape quality checks: functional dependencies, time-series
+gaps, and per-partition volume anomalies.
+
+These are the table-level integrity checks a validation run asserts
+BETWEEN rows — the scaled analogs of the reference's cross-row identity
+machinery (xs:unique/xs:key bind a determinant tuple to at most one row,
+/root/reference/xmlschema/validators/identities.py; a functional
+dependency binds it to at most one VALUE), and of its occurrence
+counting over ordered content (a time-gap check is "maxOccurs of
+silence" over the event timeline). The volume check is the per-partition
+verdict idea (engine.py) applied to row counts themselves.
+
+Scale notes are per-function; the common theme: the event-scale table is
+touched by exactly one shuffle (a keyed agg or a keyed window), and
+everything downstream operates on group-cardinality rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fd_violations(
+    df: DataFrame,
+    determinants: list[str],
+    dependent: str,
+) -> DataFrame:
+    """Groups where the functional dependency ``determinants -> dependent``
+    fails: the determinant tuple maps to more than one distinct dependent
+    value. Returns one row per violating group with ``n_values`` (distinct
+    dependent count) and the ``min_value`` / ``max_value`` witnesses.
+
+    Plan: ONE grouped aggregation. ``count(distinct)`` with grouping keys
+    plans as two hash aggregates — partial distinct collapse on
+    (determinants, dependent) map-side, then the count — so the shuffle
+    carries distinct combinations, not rows. No window, no join, no
+    driver data."""
+    if not determinants:
+        raise ValueError("determinants must name at least one column")
+    if dependent in determinants:
+        raise ValueError(f"dependent {dependent!r} is itself a determinant")
+    return (
+        df.groupBy(*determinants)
+        .agg(
+            F.countDistinct(dependent).alias("n_values"),
+            F.min(dependent).alias("min_value"),
+            F.max(dependent).alias("max_value"),
+        )
+        .filter(F.col("n_values") > 1)
+    )
+
+
+def time_gaps(
+    df: DataFrame,
+    scope_col: str,
+    ts_col: str,
+    min_gap_sec: int,
+    tiebreak_col: str | None = None,
+    split_by: str | None = None,
+) -> DataFrame:
+    """Silent periods: per scope (user, device, partition …), consecutive
+    events whose separation exceeds ``min_gap_sec``. Returns
+    (scope, gap_start_us, gap_end_us, gap_us) — exact integer microseconds
+    (the sessionize convention; second-floored arithmetic mis-places gaps
+    that straddle the threshold by < 1 s).
+
+    Default plan: ONE window per scope (lag + filter, a single shuffle on
+    ``scope_col``). Hot scopes are real at 10^12 events, so ``split_by``
+    ("day", "month", … any ``date_trunc`` unit) selects the scale path:
+    the lag window runs within (scope, time-bucket) — no window partition
+    outgrows one bucket of one scope — and cross-bucket gaps fall out of a
+    SECOND lag over the per-(scope, bucket) min/max summary (one row per
+    non-empty bucket; within a scope every event of bucket b precedes
+    every event of bucket b+1, so the only cross-bucket consecutive pair
+    is (last of previous non-empty bucket, first of current)). Both paths
+    produce IDENTICAL rows (golden-tested on boundary-straddling
+    fixtures). Unlike sessionize's split there is no index to stitch —
+    gaps compose by plain union."""
+    if min_gap_sec <= 0:
+        raise ValueError(f"min_gap_sec must be > 0, got {min_gap_sec}")
+    gap_us = min_gap_sec * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+
+    def _gaps(frame: DataFrame, extra_part: list[str]) -> DataFrame:
+        w = Window.partitionBy(scope_col, *extra_part).orderBy(*order)
+        prev = F.lag(us).over(w)
+        return (
+            frame.select(
+                F.col(scope_col),
+                prev.alias("gap_start_us"),
+                us.alias("gap_end_us"),
+            )
+            .filter(
+                F.col("gap_start_us").isNotNull()
+                & ((F.col("gap_end_us") - F.col("gap_start_us")) > gap_us)
+            )
+            .withColumn("gap_us", F.col("gap_end_us") - F.col("gap_start_us"))
+        )
+
+    if split_by is None:
+        return _gaps(df, [])
+
+    bucketed = df.withColumn(
+        "__split", F.date_trunc(split_by, F.col(ts_col).cast("timestamp"))
+    )
+    within = _gaps(bucketed, ["__split"])
+    summary = bucketed.groupBy(scope_col, "__split").agg(
+        F.min(us).alias("__first_us"), F.max(us).alias("__last_us")
+    )
+    wu = Window.partitionBy(scope_col).orderBy("__split")
+    boundary = (
+        summary.select(
+            F.col(scope_col),
+            F.lag("__last_us").over(wu).alias("gap_start_us"),
+            F.col("__first_us").alias("gap_end_us"),
+        )
+        .filter(
+            F.col("gap_start_us").isNotNull()
+            & ((F.col("gap_end_us") - F.col("gap_start_us")) > gap_us)
+        )
+        .withColumn("gap_us", F.col("gap_end_us") - F.col("gap_start_us"))
+    )
+    return within.unionByName(boundary)
+
+
+def volume_anomaly(
+    df: DataFrame,
+    group_cols: list[str],
+    k: float = 3.0,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group row counts flagged against the robust center of ALL
+    groups: ``is_anomaly`` iff |n_rows − median| > k · MAD (median absolute
+    deviation). The data-volume verdict of an ingest run — a partition
+    that silently dropped (or doubled) its rows fails loudly even when
+    every row it DOES have is individually valid.
+
+    Plan: the event-scale table is scanned and shuffled ONCE (the grouped
+    count, partial map-side) — the counts table is persisted so the
+    median, MAD, and final-flag consumers read the cache instead of
+    re-running the big agg (without it Catalyst plans three scans of the
+    source). The robust stats come back as broadcast 1-row cross joins —
+    no driver collect. The result is materialized eagerly and the counts
+    cache released before returning; call ``.unpersist()`` on the
+    RETURNED DataFrame when done (the ``jaccard_pairs`` /
+    ``ValidationResult`` contract). ``exact=True`` uses interpolated
+    ``percentile`` (deterministic, oracle-replayable — DuckDB's
+    ``quantile_cont``); ``exact=False`` swaps in ``approx_percentile``
+    for billion-group cardinalities where exact percentile's per-buffer
+    value collection is the bottleneck."""
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    pct = (
+        (lambda c: F.percentile(c, F.lit(0.5)))
+        if exact
+        else (lambda c: F.approx_percentile(c, F.lit(0.5), F.lit(10_000)))
+    )
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_rows")).persist()
+    med = counts.agg(pct(F.col("n_rows")).alias("med_n"))
+    with_med = counts.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        pct(F.abs(F.col("n_rows") - F.col("med_n"))).alias("mad_n")
+    )
+    out = with_med.crossJoin(F.broadcast(mad)).withColumn(
+        "is_anomaly",
+        F.abs(F.col("n_rows") - F.col("med_n")) > F.lit(float(k)) * F.col("mad_n"),
+    )
+    out = out.persist()
+    out.count()  # group-cardinality rows; materialize, then free the counts
+    counts.unpersist()
+    return out

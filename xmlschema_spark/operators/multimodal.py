@@ -174,6 +174,110 @@ def decode_check(
     return df.select(*cols).mapInArrow(batches, schema=schema)
 
 
+HEADER_LEN = 12  # magic(4s) + w(u32 LE) + h(u32 LE), functions/codec.py
+_HEX_MAGIC = {fmt: codec.MAGIC[fmt].hex().upper() for fmt in codec.FORMATS}
+
+
+def _le32(bytes_col, off: int):
+    """Little-endian u32 at 1-based byte offset ``off`` of a binary column,
+    as a pure Catalyst expression: hex the 4 stored bytes, reverse the hex
+    pairs, conv base-16. Stays inside whole-stage codegen — no Python."""
+    h = F.hex(F.substring(bytes_col, off, 4))
+    rev = F.concat(
+        F.substring(h, 7, 2), F.substring(h, 5, 2),
+        F.substring(h, 3, 2), F.substring(h, 1, 2),
+    )
+    return F.conv(rev, 16, 10).cast("long")
+
+
+def header_fields(bytes_col) -> dict:
+    """Container-header fields of an encoded image as Catalyst columns:
+    ``header_fmt`` (format implied by the 4-byte magic, NULL if unknown),
+    ``header_w`` / ``header_h`` (the u32 LE dims words). The magic is
+    compared in hex (UTF-8-safe for arbitrary corrupt bytes).
+
+    This is declared-metadata validation WITHOUT decoding: at 10^12 rows
+    the full pixel decode is the expensive Arrow-UDF pass
+    (:func:`decode_check`); the header, by contrast, is 12 bytes of pure
+    JVM expression — `fmt`/`w`/`h` disagreement, truncation, and foreign
+    containers are all caught in whole-stage codegen at scan speed. The
+    scaled analog of the reference peeking at a resource's declared
+    encoding before parsing (resources.py XMLResource lazy checks)."""
+    magic_hex = F.hex(F.substring(bytes_col, 1, 4))
+    hdr_fmt = F.lit(None).cast("string")
+    for fmt, mh in _HEX_MAGIC.items():
+        hdr_fmt = F.when(magic_hex == F.lit(mh), F.lit(fmt)).otherwise(hdr_fmt)
+    return {
+        "header_fmt": hdr_fmt,
+        "header_w": _le32(bytes_col, 5),
+        "header_h": _le32(bytes_col, 9),
+    }
+
+
+def header_check(
+    df: DataFrame,
+    id_col: str = "image_id",
+    part_col: str | None = None,
+) -> DataFrame:
+    """Violation rows for declared-metadata vs container-header disagreement
+    — the zero-decode row-rule family:
+
+    - ``header_short``     — bytes non-null but shorter than the 12-byte header
+    - ``header_magic``     — unknown 4-byte magic (foreign/garbage container)
+    - ``header_fmt_match`` — declared ``fmt`` != format implied by the magic
+    - ``header_w_match`` / ``header_h_match`` — declared dims != header dims
+      (catches the ``bad_dims`` corruption family without touching pixels)
+
+    One pruned scan, one projection, one Generate (explode of a per-row
+    violation array) — no shuffle, no Python. Null ``bytes`` is the
+    ``bytes_not_null`` rule's job; null declared ``fmt``/``w``/``h`` skip
+    their comparison (not_null rules own missingness). Output matches the
+    engine's violation shape (partition_id, rule_id, row_id, column,
+    severity)."""
+    b = F.col("bytes")
+    hf = header_fields(b)
+    long_enough = b.isNotNull() & (F.octet_length(b) >= HEADER_LEN)
+    known = long_enough & hf["header_fmt"].isNotNull()
+
+    def _v(cond, rule: str, column: str):
+        return F.when(
+            cond,
+            F.struct(F.lit(rule).alias("rule_id"), F.lit(column).alias("column")),
+        )
+
+    viols = F.array(
+        _v(b.isNotNull() & (F.octet_length(b) < HEADER_LEN), "header_short", "bytes"),
+        _v(long_enough & hf["header_fmt"].isNull(), "header_magic", "bytes"),
+        _v(
+            known & F.col("fmt").isNotNull() & (F.col("fmt") != hf["header_fmt"]),
+            "header_fmt_match", "fmt",
+        ),
+        _v(
+            known & F.col("w").isNotNull() & (F.col("w").cast("long") != hf["header_w"]),
+            "header_w_match", "w",
+        ),
+        _v(
+            known & F.col("h").isNotNull() & (F.col("h").cast("long") != hf["header_h"]),
+            "header_h_match", "h",
+        ),
+    )
+    part = F.col(part_col) if part_col else F.lit("__table__")
+    return (
+        df.select(
+            part.alias("partition_id"),
+            F.col(id_col).alias("row_id"),
+            F.explode(F.filter(viols, lambda x: x.isNotNull())).alias("__v"),
+        )
+        .select(
+            "partition_id",
+            F.col("__v.rule_id").alias("rule_id"),
+            "row_id",
+            F.col("__v.column").alias("column"),
+            F.lit("error").alias("severity"),
+        )
+    )
+
+
 def regex_check(df: DataFrame, column: str, pattern: str, id_col: str) -> DataFrame:
     """Fallback for XSD patterns the Java-regex translator can't express:
     anchored Python ``re`` applied per Arrow batch via a vectorized pandas
