@@ -205,6 +205,46 @@ def test_header_check_violations(spark):
     assert all(r["severity"] == "error" for r in out.collect())
 
 
+def test_header_consistent_rule_kind_through_engine(spark):
+    """The registered ``header_consistent`` kind: header validation as a
+    declarative ruleset entry, flowing through the engine's normal
+    violation/verdict path with facet NULL semantics."""
+    from xmlschema_spark.engine import ValidationEngine
+    from xmlschema_spark.rules import Rule, RuleSet
+
+    df = spark.createDataFrame(
+        _img_rows(), "image_id string, bytes binary, w int, h int, fmt string, part string"
+    )
+    rules = RuleSet(
+        [
+            Rule("hdr_all", "header_consistent", "bytes"),
+            Rule("hdr_w", "header_consistent", "bytes", {"check": "w"}),
+        ]
+    )
+    eng = ValidationEngine(rules, id_col="image_id", partition_col="part")
+    res = eng.validate(df, run_id="hdr", with_stats=False)
+    got = sorted(
+        (r["rule_id"], r["row_id"]) for r in res.violations.collect()
+    )
+    # hdr_all fires on every header defect; null bytes / null metadata pass
+    assert got == [
+        ("hdr_all", "alien"),
+        ("hdr_all", "short"),
+        ("hdr_all", "wrong_fmt"),
+        ("hdr_all", "wrong_h"),
+        ("hdr_all", "wrong_w"),
+        ("hdr_w", "wrong_w"),
+    ]
+
+
+def test_header_consistent_rejects_bad_check(spark):
+    from xmlschema_spark.compiler import compile_row_rule
+    from xmlschema_spark.rules import Rule, RuleCompileError
+
+    with pytest.raises(RuleCompileError, match="header_consistent check"):
+        compile_row_rule(Rule("bad", "header_consistent", "bytes", {"check": "nope"}))
+
+
 def test_header_check_is_pure_catalyst(spark):
     """No Python evaluation and no shuffle: the plan is scan + project +
     generate, all inside whole-stage codegen."""

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xmlschema_spark.functions import codec
+from xmlschema_spark.rules import register_rule_kind
 
 DECODE_CHECK_SCHEMA = (
     "image_id string, decode_ok boolean, fmt_match boolean, dims_match boolean, "
@@ -276,6 +277,60 @@ def header_check(
             F.lit("error").alias("severity"),
         )
     )
+
+
+def _header_rule_ok(rule):
+    """Compile fn for the registered ``header_consistent`` rule kind:
+    True ⇔ the row passes. ``rule.column`` is the binary column (default
+    ``bytes``); ``params.check`` picks one aspect — ``short`` / ``magic``
+    / ``fmt`` / ``w`` / ``h`` — or ``all`` (default, the conjunction).
+    ``params.fmt_col/w_col/h_col`` rename the declared-metadata columns.
+
+    Facet NULL semantics throughout: NULL bytes passes every check
+    (``not_null`` owns missingness), a too-short payload passes the
+    field checks (``short`` owns truncation), an unknown magic passes
+    the fmt/dims checks (``magic`` owns foreign containers), and NULL
+    declared metadata passes its comparison."""
+    b = F.col(rule.column or "bytes")
+    hf = header_fields(b)
+    fmt_col = F.col((rule.params or {}).get("fmt_col", "fmt"))
+    w_col = F.col((rule.params or {}).get("w_col", "w"))
+    h_col = F.col((rule.params or {}).get("h_col", "h"))
+    too_short = F.octet_length(b) < HEADER_LEN
+    skip_fields = b.isNull() | too_short | hf["header_fmt"].isNull()
+    oks = {
+        "short": b.isNull() | ~too_short,
+        "magic": b.isNull() | too_short | hf["header_fmt"].isNotNull(),
+        "fmt": skip_fields | fmt_col.isNull() | (fmt_col == hf["header_fmt"]),
+        "w": skip_fields | w_col.isNull() | (w_col.cast("long") == hf["header_w"]),
+        "h": skip_fields | h_col.isNull() | (h_col.cast("long") == hf["header_h"]),
+    }
+    check = (rule.params or {}).get("check", "all")
+    if check == "all":
+        ok = oks["short"]
+        for k in ("magic", "fmt", "w", "h"):
+            ok = ok & oks[k]
+        return ok
+    if check not in oks:
+        from xmlschema_spark.rules import RuleCompileError
+
+        raise RuleCompileError(
+            f"{rule.rule_id}: header_consistent check must be one of "
+            f"{sorted(oks)} or 'all', got {check!r}"
+        )
+    return oks[check]
+
+
+def _header_rule_reason(rule) -> str:
+    check = (rule.params or {}).get("check", "all")
+    return f"container header inconsistent with declared metadata (check={check})"
+
+
+# Declarative integration: rulesets may say {"kind": "header_consistent"}
+# and the zero-decode header validation flows through the engine's normal
+# violation/verdict/checkpoint path (the same extension registry user
+# facets use, rules.register_rule_kind).
+register_rule_kind("header_consistent", _header_rule_ok, _header_rule_reason)
 
 
 def regex_check(df: DataFrame, column: str, pattern: str, id_col: str) -> DataFrame:
