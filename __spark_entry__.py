@@ -1593,6 +1593,18 @@ def q_volume_anomaly_events(spark, sf_dir):
     )
 
 
+def q_freshness_events(spark, sf_dir):
+    """Per-partition ingest liveness (checks.freshness): newest event per
+    day and its age vs an explicit 'now' (2024-02-03, pinned — no
+    wall-clock reads), stale beyond 3 days. One grouped agg, exact µs."""
+    df = _t(spark, sf_dir, "events", parallel=False).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return checks_ops.freshness(
+        df, ["day"], "ts", "2024-02-03 00:00:00", 3 * 86400
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full facet + identity validation of lineitem at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1648,6 +1660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # detection, hot-scope split path certified vs single-window oracle
         "volume_anomaly_events": q_volume_anomaly_events,  # NEW r04:
         # robust per-partition volume verdicts (median ± 3·MAD)
+        "freshness_events": q_freshness_events,  # NEW r04: per-partition
+        # ingest-liveness verdicts vs a pinned 'now'
         # dedup / text / pipelines
         "exact_dedup_docs": q_exact_dedup_docs,
         "pipeline_clean_docs": q_pipeline_clean_docs,
@@ -1669,7 +1683,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_segment": q_top_orders_per_segment,
         # curation / temporal (round-3 additions, first driver window)
         "hash_sample_docs": q_hash_sample_docs,
-        "stratified_sample_docs": q_stratified_sample_docs,
         "pii_docs": q_pii_docs,
         "repetition_docs": q_repetition_docs,
         "decontam_docs": q_decontam_docs,
@@ -1700,6 +1713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pattern coverage also in-window via row_violations_orders)
         "ivf_topk_embeddings": q_ivf_topk_embeddings,  # r02 (ANN family
         # covered in-window by cosine_topk + semantic_dedup + near_dups)
+        "stratified_sample_docs": q_stratified_sample_docs,  # local-mirror
+        # certified; sampling family covered in-window by hash_sample +
+        # token_budget + weighted_sample + domain_cap
         "bounds_facets_lineitem": q_bounds_facets_lineitem,  # r03 (facet
         # family covered in-window by duration/doc_rule_counts/nested)
         "union_type_events": q_union_type_events,  # r03 (builtin-type
@@ -2058,6 +2074,14 @@ SELECT user_id, gap_start_us, gap_end_us,
 FROM g
 WHERE gap_start_us IS NOT NULL
   AND gap_end_us - gap_start_us > 21600::BIGINT * 1000000
+"""
+    sql["freshness_events"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       max(epoch_us(ts)) AS last_event_us,
+       epoch_us(TIMESTAMP '2024-02-03 00:00:00') - max(epoch_us(ts)) AS age_us,
+       (epoch_us(TIMESTAMP '2024-02-03 00:00:00') - max(epoch_us(ts)))
+         > 259200::BIGINT * 1000000 AS is_stale
+FROM events GROUP BY 1
 """
     sql["volume_anomaly_events"] = """
 WITH c AS (

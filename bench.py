@@ -66,6 +66,11 @@ BENCH_QUERIES = [
     "sessions_events",            # per-user gap sessionization window
     "heavy_hitters_events",       # skew detector (single-scan via exchange reuse)
     "phash_near_dups",            # pigeonhole-blocked hamming self-join (8-byte sigs)
+    "fd_violations_lineitem",     # functional-dependency audit (two-phase distinct agg)
+    "time_gaps_events",           # silent-period detection, hot-scope split path
+    "volume_anomaly_events",      # robust volume verdicts (median ± k·MAD)
+    "freshness_events",           # per-partition ingest-liveness verdicts
+    "header_check_images",        # zero-decode container-header validation
 ]
 
 # sized so the timed suite runs for several seconds after the Arrow-native

@@ -153,6 +153,69 @@ def test_volume_anomaly_validates_args(spark):
 
 
 # ---------------------------------------------------------------------------
+# freshness
+# ---------------------------------------------------------------------------
+
+def test_freshness_flags_stale_groups(spark):
+    df = spark.createDataFrame(
+        [
+            ("live", _ts(9, 12)),   # age 12h at now=Jan 10
+            ("live", _ts(1, 0)),    # older events don't matter — max wins
+            ("stale", _ts(2, 0)),   # age 8 days
+        ],
+        "g string, ts timestamp",
+    )
+    out = {
+        r["g"]: r
+        for r in checks.freshness(
+            df, ["g"], "ts", "2024-01-10 00:00:00", 86400
+        ).collect()
+    }
+    assert not out["live"]["is_stale"] and out["live"]["age_us"] == 12 * 3600 * 1_000_000
+    assert out["stale"]["is_stale"] and out["stale"]["age_us"] == 8 * 86400 * 1_000_000
+
+
+def test_freshness_exact_threshold_not_stale(spark):
+    df = spark.createDataFrame([("g", _ts(9, 0))], "g string, ts timestamp")
+    (row,) = checks.freshness(df, ["g"], "ts", "2024-01-10 00:00:00", 86400).collect()
+    assert row["age_us"] == 86400 * 1_000_000 and not row["is_stale"]  # strict >
+
+
+def test_freshness_validates_args(spark):
+    df = spark.createDataFrame([("g", _ts(1))], "g string, ts timestamp")
+    with pytest.raises(ValueError, match="group_cols"):
+        checks.freshness(df, [], "ts", "2024-01-10 00:00:00", 1)
+    with pytest.raises(ValueError, match="max_age_sec"):
+        checks.freshness(df, ["g"], "ts", "2024-01-10 00:00:00", 0)
+
+
+# ---------------------------------------------------------------------------
+# schema_drift (metadata-only)
+# ---------------------------------------------------------------------------
+
+def test_schema_drift_reports_changes(spark):
+    before = spark.createDataFrame([(1, "a", 2.0)], "id int, name string, v double")
+    after = spark.createDataFrame([(1, "a", 2)], "id int, name string, v int").withColumn(
+        "extra", F.lit(True)
+    )
+    out = checks.schema_drift(before, after)
+    assert out == [
+        {"change": "added", "column": "extra", "before_type": None, "after_type": "boolean"},
+        {"change": "retyped", "column": "v", "before_type": "double", "after_type": "int"},
+    ]
+    # identical schemas — empty; StructType inputs also accepted
+    assert checks.schema_drift(before, before.schema) == []
+
+
+def test_schema_drift_removed_column(spark):
+    before = spark.createDataFrame([(1, "a")], "id int, name string")
+    after = before.drop("name")
+    assert checks.schema_drift(before, after) == [
+        {"change": "removed", "column": "name", "before_type": "string", "after_type": None}
+    ]
+
+
+# ---------------------------------------------------------------------------
 # header_check (pure-Catalyst container-header validation)
 # ---------------------------------------------------------------------------
 
@@ -243,6 +306,117 @@ def test_header_consistent_rejects_bad_check(spark):
 
     with pytest.raises(RuleCompileError, match="header_consistent check"):
         compile_row_rule(Rule("bad", "header_consistent", "bytes", {"check": "nope"}))
+
+
+def test_header_fields_le32_randomized(spark):
+    """Randomized reference check of the hex/conv little-endian decode:
+    300 random headers (full u32 range incl. values with high bytes set)
+    packed by struct, decoded by the Catalyst expression — one job."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(300):
+        fmt = ["bmp", "png", "jpeg", "webp"][int(rng.integers(0, 4))]
+        w = int(rng.integers(0, 2**32))
+        h = int(rng.integers(0, 2**32))
+        payload = bytes(rng.integers(0, 256, size=int(rng.integers(0, 9))).tolist())
+        rows.append((str(i), struct.pack("<4sII", codec.MAGIC[fmt], w, h) + payload, fmt, w, h))
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "image_id string, bytes binary"
+    )
+    hf = multimodal.header_fields(F.col("bytes"))
+    got = {
+        r["image_id"]: (r["f"], r["w"], r["h"])
+        for r in df.select(
+            "image_id", hf["header_fmt"].alias("f"),
+            hf["header_w"].alias("w"), hf["header_h"].alias("h"),
+        ).collect()
+    }
+    for rid, _, fmt, w, h in rows:
+        assert got[rid] == (fmt, w, h), rid
+
+
+def _py_gaps(rows, gap_sec):
+    """Pure-Python reference for time_gaps (session tz is pinned UTC, so
+    naive datetimes convert to epoch µs via an explicit UTC attach)."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, ts in rows:
+        by_user[u].append(int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000))
+    out = []
+    for u, us in by_user.items():
+        us.sort()
+        for a, b in zip(us, us[1:]):
+            if b - a > gap_sec * 1_000_000:
+                out.append((u, a, b, b - a))
+    return sorted(out)
+
+
+def test_time_gaps_randomized_vs_reference(spark):
+    """Seeded random event sets: single-window, split-by-day and
+    split-by-hour must all equal the pure-Python reference."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (f"u{int(rng.integers(0, 8))}", base + dt.timedelta(seconds=int(rng.integers(0, 5 * 86400))))
+        for _ in range(400)
+    ]
+    gap_sec = 3 * 3600
+    expect = _py_gaps(rows, gap_sec)
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    for split in (None, "day", "hour"):
+        got = sorted(
+            (r["user"], r["gap_start_us"], r["gap_end_us"], r["gap_us"])
+            for r in checks.time_gaps(df, "user", "ts", gap_sec, split_by=split).collect()
+        )
+        assert got == expect, split
+
+
+def test_fd_violations_randomized_vs_reference(spark):
+    import numpy as np
+    from collections import defaultdict
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (int(rng.integers(0, 40)), int(rng.integers(0, 5)))
+        for _ in range(500)
+    ]
+    vals = defaultdict(set)
+    for k, v in rows:
+        vals[k].add(v)
+    expect = sorted(
+        (k, len(vs), min(vs), max(vs)) for k, vs in vals.items() if len(vs) > 1
+    )
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = sorted(
+        (r["k"], r["n_values"], r["min_value"], r["max_value"])
+        for r in checks.fd_violations(df, ["k"], "v").collect()
+    )
+    assert got == expect
+
+
+def test_volume_anomaly_randomized_vs_reference(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    sizes = {f"g{i}": int(rng.integers(1, 30)) for i in range(15)}
+    rows = [(g, j) for g, n in sizes.items() for j in range(n)]
+    counts = np.array(sorted(sizes.values()), dtype=float)
+    med = float(np.median(counts))
+    mad = float(np.median(np.abs(counts - med)))
+    df = spark.createDataFrame(rows, "g string, x int")
+    out = checks.volume_anomaly(df, ["g"], k=2.0)
+    for r in out.collect():
+        assert r["n_rows"] == sizes[r["g"]]
+        assert r["med_n"] == med and r["mad_n"] == mad
+        assert r["is_anomaly"] == (abs(sizes[r["g"]] - med) > 2.0 * mad)
+    out.unpersist()
 
 
 def test_header_check_is_pure_catalyst(spark):

@@ -95,6 +95,7 @@ def test_certification_window_composition():
     assert "fd_violations_lineitem" in window
     assert "time_gaps_events" in window
     assert "volume_anomaly_events" in window
+    assert "freshness_events" in window
     # past-window entries must all have been driver-certified before
     # (image/pandas-UDF queries and the xxhash64 fingerprint excepted:
     # rows-only by necessity, each with an oracle-certified sibling)

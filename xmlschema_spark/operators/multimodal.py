@@ -229,8 +229,13 @@ def header_check(
     - ``header_w_match`` / ``header_h_match`` — declared dims != header dims
       (catches the ``bad_dims`` corruption family without touching pixels)
 
-    One pruned scan, one projection, one Generate (explode of a per-row
-    violation array) — no shuffle, no Python. Null ``bytes`` is the
+    One pruned scan, one Generate (explode of a per-row violation array)
+    — no shuffle, no Python. The magic/dims decodes appear once per rule
+    branch in the plan (CollapseProject inlines any pre-projection and
+    CASE branches defeat codegen subexpression elimination — the
+    compiler's ``_np`` note), but each is a ≤ 4-byte hex/conv: nanoseconds
+    against the KB-scale ``bytes`` column the scan already moves, so the
+    pass stays scan-bound at any row count. Null ``bytes`` is the
     ``bytes_not_null`` rule's job; null declared ``fmt``/``w``/``h`` skip
     their comparison (not_null rules own missingness). Output matches the
     engine's violation shape (partition_id, rule_id, row_id, column,
