@@ -143,3 +143,27 @@ def test_fewer_rows_than_clusters(spark):
     out = semantic_dedup(_df(spark, rows), "id", "v", threshold=0.99,
                          n_clusters=16, centroid_mode="seed").collect()
     assert len(out) == 2 and all(r.keep for r in out)
+
+
+def test_seed_mode_zero_vector_does_not_shrink_centroid_set(spark):
+    """A zero-norm vector among the first n_clusters ids must be skipped
+    and BACKFILLED by the next non-zero row (the oracle's
+    list_sum(x*x) > 0 gate) — not silently shrink the seed set to k-1."""
+    rows = [
+        (1, [0.0, 0.0]),          # zero vector at the lowest id
+        (2, _unit(1, 0)),         # seed 0
+        (3, _unit(0, 1)),         # seed 1 (the backfill)
+        (4, _unit(1, 0.02)),      # x-axis cell
+        (5, _unit(0.02, 1)),      # y-axis cell
+    ]
+    out = semantic_dedup(
+        _df(spark, rows), "id", "v",
+        threshold=0.99, n_clusters=2, centroid_mode="seed",
+    )
+    got = {r["id"]: r["cid"] for r in out.collect()}
+    out.unpersist()
+    # zero vector has no unit form -> excluded from the result entirely
+    assert 1 not in got
+    # both seed cells exist: 4 clusters with 2, 5 clusters with 3
+    assert got[4] == got[2] and got[5] == got[3]
+    assert got[2] != got[3]

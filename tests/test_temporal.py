@@ -175,3 +175,42 @@ def test_asof_empty_dims_all_null(spark, facts, strategy):
     dims = spark.createDataFrame([], "user_id long, snap_ts timestamp, tier string")
     out = asof_join(facts, dims, "user_id", "ts", "snap_ts", strategy=strategy).collect()
     assert len(out) == 6 and all(r.tier is None for r in out)
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
+def test_asof_null_payload_carried_not_fallthrough(spark, strategy):
+    """A NULL payload field in the winning snapshot is CARRIED (the
+    broadcast semantics) — the union path must not fall through to an
+    older snapshot's value for that column."""
+    facts = spark.createDataFrame(
+        [(1, 10, "2024-01-05")], "fid long, user long, fts string"
+    ).withColumn("fts", F.to_timestamp("fts"))
+    dims = spark.createDataFrame(
+        [(10, "2024-01-01", "gold", "eu"), (10, "2024-01-03", None, "us")],
+        "user long, dts string, tier string, region string",
+    ).withColumn("dts", F.to_timestamp("dts"))
+    (row,) = asof_join(facts, dims, "user", "fts", "dts", strategy=strategy).collect()
+    assert row["tier"] is None and row["region"] == "us"
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
+def test_asof_tied_snapshot_with_null_field_atomic(spark, strategy):
+    """Tied snapshots where one row has a NULL payload field: both paths
+    pick ONE whole row (the max content hash) — never a column-wise mix
+    of the tied rows, and both strategies agree."""
+    facts = spark.createDataFrame(
+        [(1, 10, "2024-01-05")], "fid long, user long, fts string"
+    ).withColumn("fts", F.to_timestamp("fts"))
+    dims = spark.createDataFrame(
+        [(10, "2024-01-01", None, "eu"), (10, "2024-01-01", "gold", "us")],
+        "user long, dts string, tier string, region string",
+    ).withColumn("dts", F.to_timestamp("dts"))
+    (row,) = asof_join(facts, dims, "user", "fts", "dts", strategy=strategy).collect()
+    # whichever tied row wins, the (tier, region) pair must be one of the
+    # two real rows, and both strategies must return the same pair
+    assert (row["tier"], row["region"]) in {(None, "eu"), ("gold", "us")}
+    (other,) = asof_join(
+        facts, dims, "user", "fts", "dts",
+        strategy="union" if strategy == "broadcast" else "broadcast",
+    ).collect()
+    assert (row["tier"], row["region"]) == (other["tier"], other["region"])

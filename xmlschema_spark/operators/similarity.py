@@ -400,7 +400,9 @@ def semantic_dedup(
       same machinery as :func:`ivf_topk`. Not oracle-expressible (the
       iteration is numpy), so certified via the mode below.
     - ``"seed"`` (certified): centroids are the unit vectors of the FIRST
-      ``n_clusters`` non-null rows in id order — a fixed-seed Voronoi
+      ``n_clusters`` non-null, non-zero-norm rows in id order (zero
+      vectors can't be unit centroids; the next row backfills, exactly
+      like the oracle's ``list_sum(x*x) > 0`` gate) — a fixed-seed Voronoi
       partition, byte-replayable in SQL (argmax over cosine to a
       deterministic centroid set, ties broken by centroid index — numpy
       argmax and ``row_number() ... ORDER BY sim DESC, cid ASC`` pick the
@@ -434,9 +436,17 @@ def semantic_dedup(
     ).filter(F.col("u").isNotNull()).select("id", "u")
 
     if centroid_mode == "seed":
+        # zero-norm vectors are excluded BEFORE taking the first k (the
+        # same `list_sum(x*x) > 0` gate the DuckDB oracle applies) — a
+        # zero vector among the first k ids must not shrink the centroid
+        # set; the next non-zero row backfills instead
+        sq = F.aggregate(
+            F.col("v"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+        )
         rows = (
             df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
             .filter(F.col(vec_col).isNotNull())
+            .filter(sq > 0)
             .orderBy("id")
             .limit(n_clusters)
             .collect()

@@ -18,8 +18,9 @@ primitives two different ways, picked by dimension size:
 - ``union``: when the dimension itself is huge (e.g. per-key config
   history comparable to the fact count), tag both sides, union them,
   and run ONE window per key ordered by (ts, tag) carrying
-  ``last(dim_col, ignorenulls=True)`` — each fact row picks up the most
-  recent snapshot values that sorted before it. One shuffle+sort of
+  ``last(snapshot_struct, ignorenulls=True)`` — each fact row picks up
+  the most recent WHOLE snapshot that sorted before it (the struct
+  wrapper keeps null payload fields and tied-row picks atomic). One shuffle+sort of
   facts+dims on the key; linear, spill-safe, no join explosion. Hot
   keys are the usual window-skew envelope (pre-split by (key, day)
   upstream, like curation.sessionize documents).
@@ -61,19 +62,21 @@ def asof_join(
     window over the unioned stream — for dims too large to broadcast).
     See the module docstring for the scale trade-off.
 
-    Caveat (union path): a NULL in a dim payload column is treated as
-    "no value" — ``last(ignorenulls)`` falls through to the previous
-    snapshot's value for that column, where the broadcast path would
-    carry the NULL. Snapshots with all-non-null payloads (the normal
-    case) behave identically on both paths.
+    NULL payload values behave identically on both paths: the union
+    path carries each snapshot as one struct, so ``last(ignorenulls)``
+    selects whole dim rows atomically — a NULL field rides inside the
+    winning snapshot's (non-null) struct instead of falling through to
+    an older snapshot.
 
     Duplicate snapshots — two dim rows sharing the same ``(key,
     dim_ts)`` — resolve DETERMINISTICALLY and identically on both
-    paths: the winner is the row with the greatest
-    ``xxhash64(dim_ts, *payload)`` (an arbitrary but stable total
-    order over the tied rows' contents). Exact full-row duplicates are
-    therefore harmless; distinct payloads at one timestamp get a
-    content-stable pick rather than a partitioning-dependent one.
+    paths, even when tied rows contain NULL payload fields: the winner
+    is the whole row with the greatest ``xxhash64(dim_ts, *payload)``
+    (an arbitrary but stable total order over the tied rows' contents;
+    never a column-wise mix of two tied rows). Exact full-row
+    duplicates are therefore harmless; distinct payloads at one
+    timestamp get a content-stable pick rather than a
+    partitioning-dependent one.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     payload = [c for c in dims.columns if c not in keys and c != dim_ts]
@@ -109,25 +112,31 @@ def asof_join(
         # tag 0 = dim, 1 = fact: at equal ts the dim sorts FIRST, so a
         # snapshot taken exactly at the fact timestamp is visible to it
         # (the `>=` tie rule, matching the broadcast path and DuckDB).
+        #
+        # The whole snapshot travels as ONE struct: last(ignorenulls)
+        # over a struct picks an entire dim row atomically, so a NULL in
+        # a payload column is carried exactly like the broadcast path
+        # (never falls through to an older snapshot, never mixes columns
+        # from two tied rows) — a non-null struct wraps null fields.
         fact_cols = facts.columns
-        f_side = facts.select(
-            *[F.col(c) for c in fact_cols],
-            F.lit(None).cast(dims.schema[dim_ts].dataType).alias("__dts"),
-            *[F.lit(None).cast(dims.schema[c].dataType).alias(c) for c in payload],
-            F.lit(1).alias("__tag"),
-            F.col(fact_ts).alias("__ts"),
-            F.lit(0).cast("long").alias("__tie"),
-        )
         d_side = dims.select(
             *[
                 F.col(k) if k in keys else F.lit(None).cast(facts.schema[k].dataType).alias(k)
                 for k in fact_cols
             ],
-            F.col(dim_ts).alias("__dts"),
-            *[F.col(c) for c in payload],
+            F.struct(
+                F.col(dim_ts).alias("__dts"), *[F.col(c) for c in payload]
+            ).alias("__snap"),
             F.lit(0).alias("__tag"),
             F.col(dim_ts).alias("__ts"),
             tie.alias("__tie"),
+        )
+        f_side = facts.select(
+            *[F.col(c) for c in fact_cols],
+            F.lit(None).cast(d_side.schema["__snap"].dataType).alias("__snap"),
+            F.lit(1).alias("__tag"),
+            F.col(fact_ts).alias("__ts"),
+            F.lit(0).cast("long").alias("__tie"),
         )
         # __tie orders only tied dim rows (facts all carry 0 and sort
         # after dims at equal ts via __tag): among tied snapshots the
@@ -138,12 +147,15 @@ def asof_join(
             .orderBy("__ts", "__tag", "__tie")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        filled = f_side.unionByName(d_side)
-        for c in [*payload, "__dts"]:
-            filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        filled = f_side.unionByName(d_side).withColumn(
+            "__snap", F.last("__snap", ignorenulls=True).over(w)
+        )
         return (
             filled.filter(F.col("__tag") == 1)
-            .drop("__tag", "__ts", "__tie")
-            .withColumnRenamed("__dts", dim_ts)
+            .select(
+                *fact_cols,
+                F.col("__snap.__dts").alias(dim_ts),
+                *[F.col(f"__snap.{c}").alias(c) for c in payload],
+            )
         )
     raise ValueError(f"strategy must be 'broadcast' or 'union', got {strategy!r}")
