@@ -1,0 +1,248 @@
+"""Round-4 additions to the dataset-shape family: snapshot reconciliation
+(snapshot_diff), late-arrival audit (sequence_regressions), embedding
+vector validation (vector_checks), and Benford first-digit conformance
+(drift.benford)."""
+
+import math
+import random
+
+import pytest
+
+from xmlschema_spark.operators import checks, drift
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+def _diff(spark, before, after, keys, **kw):
+    b = spark.createDataFrame(before, "k int, s string, v double")
+    a = spark.createDataFrame(after, "k int, s string, v double")
+    return {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in checks.snapshot_diff(b, a, keys, **kw).collect()
+    }
+
+
+def test_snapshot_diff_statuses(spark):
+    out = _diff(
+        spark,
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        [(2, "b", 21.0), (3, "c", 30.0), (5, "e", 50.0)],
+        ["k"],
+    )
+    # unchanged key 3 emits NO row
+    assert out == {
+        1: ("removed", ""),
+        2: ("changed", "v"),
+        5: ("added", ""),
+    }
+
+
+def test_snapshot_diff_null_safe_and_multi_change(spark):
+    out = _diff(
+        spark,
+        [(1, None, 1.0), (2, "x", 2.0), (3, None, 3.0)],
+        [(1, None, 1.0), (2, None, 9.0), (3, "z", 3.0)],
+        ["k"],
+    )
+    # NULL == NULL under eqNullSafe: key 1 unchanged; NULL vs value is a change
+    assert out == {2: ("changed", "s,v"), 3: ("changed", "s")}
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    out = _diff(
+        spark,
+        [(1, "a", 1.0)],
+        [(1, "CHANGED", 1.0)],
+        ["k"],
+        compare_cols=["v"],
+    )
+    assert out == {}  # s differs but is not compared
+
+
+def test_snapshot_diff_rejects_bad_args(spark):
+    b = spark.createDataFrame([(1, "a", 1.0)], "k int, s string, v double")
+    with pytest.raises(ValueError):
+        checks.snapshot_diff(b, b, [])
+    with pytest.raises(ValueError):
+        checks.snapshot_diff(b, b, ["k"], compare_cols=["k", "v"])
+
+
+def test_snapshot_diff_composite_key(spark):
+    b = spark.createDataFrame([(1, 1, "a"), (1, 2, "b")], "k1 int, k2 int, s string")
+    a = spark.createDataFrame([(1, 1, "a"), (1, 2, "B")], "k1 int, k2 int, s string")
+    rows = checks.snapshot_diff(b, a, ["k1", "k2"]).collect()
+    assert [(r["k1"], r["k2"], r["status"]) for r in rows] == [(1, 2, "changed")]
+
+
+# ---------------------------------------------------------------------------
+# sequence_regressions
+# ---------------------------------------------------------------------------
+
+def _seq_df(spark, rows):
+    return spark.createDataFrame(rows, "u int, seq int, ts string")
+
+
+def test_sequence_regressions_basic(spark):
+    df = _seq_df(
+        spark,
+        [
+            (1, 1, "2024-01-01 00:00:00"),
+            (1, 2, "2024-01-01 00:05:00"),
+            (1, 3, "2024-01-01 00:01:00"),  # 4 min backward
+            (2, 1, "2024-01-01 00:00:00"),
+            (2, 2, "2024-01-01 00:00:01"),
+        ],
+    )
+    rows = checks.sequence_regressions(df, "u", "seq", "ts", 0).collect()
+    assert [(r["u"], r["seq"], r["regression_us"]) for r in rows] == [
+        (1, 3, 240_000_000)
+    ]
+
+
+def test_sequence_regressions_threshold_is_exclusive_exact_us(spark):
+    df = _seq_df(
+        spark,
+        [
+            (1, 1, "2024-01-01 00:01:00"),
+            (1, 2, "2024-01-01 00:00:00"),  # exactly 60 s backward
+        ],
+    )
+    assert checks.sequence_regressions(df, "u", "seq", "ts", 60).count() == 0
+    assert checks.sequence_regressions(df, "u", "seq", "ts", 59).count() == 1
+
+
+def test_sequence_regressions_split_equals_single_window(spark):
+    # deterministic scramble with regressions straddling bucket borders
+    rng = random.Random(7)
+    rows = []
+    for u in (1, 2, 3):
+        ts = [f"2024-01-0{d} {h:02d}:{m:02d}:00" for d in (1, 2)
+              for h in range(4) for m in range(0, 60, 7)]
+        rng.shuffle(ts)
+        rows += [(u, i, t) for i, t in enumerate(ts)]
+    df = _seq_df(spark, rows)
+    base = checks.sequence_regressions(df, "u", "seq", "ts", 3600)
+    for n in (2, 3, 7, 1000):
+        split = checks.sequence_regressions(
+            df, "u", "seq", "ts", 3600, split_every=n
+        )
+        assert sorted(map(tuple, split.collect())) == sorted(
+            map(tuple, base.collect())
+        ), f"split_every={n} diverged"
+    assert base.count() > 0
+
+
+def test_sequence_regressions_rejects_bad_args(spark):
+    df = _seq_df(spark, [(1, 1, "2024-01-01 00:00:00")])
+    with pytest.raises(ValueError):
+        checks.sequence_regressions(df, "u", "seq", "ts", -1)
+    with pytest.raises(ValueError):
+        checks.sequence_regressions(df, "u", "seq", "ts", 0, split_every=1)
+
+
+# ---------------------------------------------------------------------------
+# vector_checks
+# ---------------------------------------------------------------------------
+
+def test_vector_checks_all_rules(spark):
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [
+            (1, [0.1, 0.2]),          # clean
+            (2, None),                # vec_null
+            (3, [nan, 0.0]),          # has_nan
+            (4, [0.0, 0.0]),          # zero_vector
+            (5, [inf, 0.1]),          # has_inf (inf excluded from range rule)
+            (6, [0.1]),               # dim_mismatch
+            (7, [-0.9, 0.2]),         # out_of_range (|x| > 0.5)
+            (8, [-inf, 0.6]),         # has_inf AND out_of_range (the 0.6)
+        ],
+        "id int, vec array<float>",
+    )
+    out = checks.vector_checks(df, "id", "vec", dim=2, max_abs=0.5)
+    got = sorted((r["id"], r["rule_id"]) for r in out.collect())
+    assert got == [
+        (2, "vec_null"),
+        (3, "has_nan"),
+        (4, "zero_vector"),
+        (5, "has_inf"),
+        (6, "dim_mismatch"),
+        (7, "out_of_range"),
+        (8, "has_inf"),
+        (8, "out_of_range"),
+    ]
+
+
+def test_vector_checks_without_range_rule(spark):
+    df = spark.createDataFrame([(1, [9.0, 9.0])], "id int, vec array<float>")
+    assert checks.vector_checks(df, "id", "vec", dim=2).count() == 0
+
+
+def test_vector_checks_empty_vector_is_dim_mismatch_not_zero(spark):
+    df = spark.createDataFrame([(1, [])], "id int, vec array<float>")
+    rows = checks.vector_checks(df, "id", "vec", dim=2).collect()
+    assert [(r["id"], r["rule_id"]) for r in rows] == [(1, "dim_mismatch")]
+
+
+def test_vector_checks_rejects_bad_dim(spark):
+    df = spark.createDataFrame([(1, [0.0])], "id int, vec array<float>")
+    with pytest.raises(ValueError):
+        checks.vector_checks(df, "id", "vec", dim=0)
+
+
+# ---------------------------------------------------------------------------
+# drift.benford
+# ---------------------------------------------------------------------------
+
+def test_benford_conforming_sample_passes(spark):
+    # synthesize a Benford-conforming sample: 10^u for uniform u
+    rng = random.Random(42)
+    rows = [(math.pow(10.0, rng.uniform(0, 4)),) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "v double")
+    out = drift.benford(df, "v").collect()
+    assert len(out) == 9
+    assert {r["digit"] for r in out} == set(range(1, 10))
+    assert all(not r["is_anomalous"] for r in out)
+    assert abs(sum(r["obs_freq"] for r in out) - 1.0) < 1e-9
+    assert out[0]["n_total"] == 5000
+
+
+def test_benford_uniform_sample_fails(spark):
+    rng = random.Random(1)
+    rows = [(float(rng.randint(10000, 99999)),) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "v double")
+    out = drift.benford(df, "v").collect()
+    assert all(r["is_anomalous"] for r in out)
+
+
+def test_benford_zero_count_digits_get_skeleton_rows(spark):
+    df = spark.createDataFrame([(111.0,), (12.5,), (199.0,)], "v double")
+    out = {r["digit"]: r["n"] for r in drift.benford(df, "v").collect()}
+    assert out == {1: 3, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 0}
+
+
+def test_benford_grouped_and_filters_sub_one(spark):
+    df = spark.createDataFrame(
+        [("a", 123.0), ("a", 0.5), ("a", None), ("b", 911.0)],
+        "g string, v double",
+    )
+    out = drift.benford(df, "v", ["g"]).collect()
+    assert len(out) == 18  # 2 groups x 9 digits
+    totals = {(r["g"]): r["n_total"] for r in out}
+    assert totals == {"a": 1, "b": 1}  # 0.5 and NULL excluded
+
+
+def test_benford_expected_constants_are_log10(spark):
+    for d in range(1, 10):
+        assert drift.BENFORD_EXPECTED[d] == pytest.approx(
+            math.log10(1 + 1 / d), abs=0
+        )
+    assert abs(sum(drift.BENFORD_EXPECTED.values()) - 1.0) < 1e-12
+
+
+def test_benford_rejects_bad_threshold(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        drift.benford(df, "v", mad_threshold=0.0)

@@ -17,6 +17,8 @@ everything downstream operates on group-cardinality rows.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -231,3 +233,239 @@ def volume_anomaly(
     out.count()  # group-cardinality rows; materialize, then free the counts
     counts.unpersist()
     return out
+
+
+def snapshot_diff(
+    before: DataFrame,
+    after: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Key-level reconciliation between two snapshots of the same table:
+    one row per key that was ``added`` (in *after* only), ``removed``
+    (in *before* only), or ``changed`` (present in both with at least
+    one compared column differing under null-safe comparison), with
+    ``changed_cols`` naming the differing columns (comma-joined, column
+    order; empty for added/removed). Unchanged keys produce NO row, so
+    the result is violation-cardinality — the cross-snapshot analog of
+    the reference's identity machinery (xs:key binds a key tuple to one
+    row; a snapshot diff asserts the binding survived re-ingest).
+
+    Plan: ONE full-outer sort-merge join on the key columns — each side
+    scans and shuffles exactly once, and per-column comparison is a
+    map-side projection after the join (no second pass, no window, no
+    driver data). At 10^12 rows both snapshots should be bucketed by the
+    key (``sources/bucketed.py``) so the join plans with zero Exchange;
+    otherwise AQE handles skewed keys. ``compare_cols`` defaults to all
+    shared non-key columns (sorted), so schema drift between snapshots
+    (column added/removed) is ignored here — that is ``schema_drift``'s
+    job, run it first."""
+    if not keys:
+        raise ValueError("keys must name at least one column")
+    if compare_cols is None:
+        shared = set(before.columns) & set(after.columns)
+        compare_cols = sorted(shared - set(keys))
+    overlap = set(compare_cols) & set(keys)
+    if overlap:
+        raise ValueError(f"compare_cols overlap keys: {sorted(overlap)}")
+    b = before.select(
+        *[F.col(k).alias(f"__bk_{k}") for k in keys],
+        *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_b"),
+    )
+    a = after.select(
+        *[F.col(k).alias(f"__ak_{k}") for k in keys],
+        *[F.col(c).alias(f"__a_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_a"),
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__bk_{k}").eqNullSafe(F.col(f"__ak_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = b.join(a, cond, "full_outer")
+    diff_flags = [
+        ~F.col(f"__b_{c}").eqNullSafe(F.col(f"__a_{c}")) for c in compare_cols
+    ]
+    status = (
+        F.when(F.col("__in_b").isNull(), F.lit("added"))
+        .when(F.col("__in_a").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    keep = (
+        F.col("__in_b").isNull()
+        | F.col("__in_a").isNull()
+        | (
+            F.lit(False)
+            if not compare_cols
+            else functools.reduce(lambda x, y: x | y, diff_flags)
+        )
+    )
+    changed = F.when(
+        F.col("__in_b").isNotNull() & F.col("__in_a").isNotNull(),
+        F.concat_ws(
+            ",",
+            *[
+                F.when(flag, F.lit(c))
+                for c, flag in zip(compare_cols, diff_flags)
+            ],
+        ),
+    ).otherwise(F.lit(""))
+    return j.filter(keep).select(
+        *[
+            F.coalesce(F.col(f"__bk_{k}"), F.col(f"__ak_{k}")).alias(k)
+            for k in keys
+        ],
+        status.alias("status"),
+        changed.alias("changed_cols"),
+    )
+
+
+def sequence_regressions(
+    df: DataFrame,
+    scope_col: str,
+    seq_col: str,
+    ts_col: str,
+    min_regression_sec: int = 0,
+    split_every: int | None = None,
+) -> DataFrame:
+    """Late-arrival / ordering audit: per scope, adjacent pairs in
+    ingest order (``seq_col`` ascending) where event time went BACKWARD
+    by more than ``min_regression_sec`` — the batch analog of rows a
+    streaming watermark of that tolerance would have dropped. Returns
+    (scope, seq, ts_us, prev_ts_us, regression_us), exact integer
+    microseconds (the sessionize convention).
+
+    Default plan: ONE lag window per scope (single shuffle on
+    ``scope_col``). For hot scopes, ``split_every=N`` selects the scale
+    path: the lag runs within (scope, floor(seq/N)) so no window
+    partition outgrows N rows, and cross-bucket pairs fall out of a
+    SECOND lag over the per-(scope, bucket) summary — within a scope
+    every seq of bucket b precedes bucket b+1, so the only cross-bucket
+    adjacent pair is (max-seq row of the previous non-empty bucket,
+    min-seq row of the current), recovered via max_by/min_by. Both
+    paths produce IDENTICAL rows (``sequence_regressions`` split ≡
+    single-window is golden-tested; the certified driver query runs the
+    split path against a single-window oracle)."""
+    if min_regression_sec < 0:
+        raise ValueError(
+            f"min_regression_sec must be >= 0, got {min_regression_sec}"
+        )
+    if split_every is not None and split_every < 2:
+        raise ValueError(f"split_every must be >= 2, got {split_every}")
+    tol_us = min_regression_sec * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+    def _regs(frame: DataFrame, extra_part: list[str]) -> DataFrame:
+        w = Window.partitionBy(scope_col, *extra_part).orderBy(seq_col)
+        prev = F.lag(us).over(w)
+        return (
+            frame.select(
+                F.col(scope_col),
+                F.col(seq_col),
+                us.alias("ts_us"),
+                prev.alias("prev_ts_us"),
+            )
+            .filter(
+                F.col("prev_ts_us").isNotNull()
+                & ((F.col("prev_ts_us") - F.col("ts_us")) > tol_us)
+            )
+            .withColumn(
+                "regression_us", F.col("prev_ts_us") - F.col("ts_us")
+            )
+        )
+
+    if split_every is None:
+        return _regs(df, [])
+
+    bucketed = df.withColumn(
+        "__split", F.floor(F.col(seq_col) / F.lit(split_every))
+    )
+    within = _regs(bucketed, ["__split"])
+    summary = bucketed.groupBy(scope_col, "__split").agg(
+        F.min(seq_col).alias("__first_seq"),
+        F.min_by(us, F.col(seq_col)).alias("__first_us"),
+        F.max_by(us, F.col(seq_col)).alias("__last_us"),
+    )
+    wu = Window.partitionBy(scope_col).orderBy("__split")
+    boundary = (
+        summary.select(
+            F.col(scope_col),
+            F.col("__first_seq").alias(seq_col),
+            F.col("__first_us").alias("ts_us"),
+            F.lag("__last_us").over(wu).alias("prev_ts_us"),
+        )
+        .filter(
+            F.col("prev_ts_us").isNotNull()
+            & ((F.col("prev_ts_us") - F.col("ts_us")) > tol_us)
+        )
+        .withColumn("regression_us", F.col("prev_ts_us") - F.col("ts_us"))
+    )
+    return within.unionByName(boundary)
+
+
+def vector_checks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    max_abs: float | None = None,
+) -> DataFrame:
+    """Embedding-column validation: violation rows (id, rule_id) for
+    ``array<float>`` payloads — the vector-typed analog of the scalar
+    facet pass. Rules, all pure Catalyst (``size`` / ``exists`` /
+    ``forall`` higher-order functions — one codegen'd projection, no
+    explode, no shuffle, no Python):
+
+    - ``vec_null``      — the vector itself is NULL
+    - ``dim_mismatch``  — ``size(vec) != dim`` (the xs:length facet)
+    - ``has_nan``       — any component is NaN
+    - ``has_inf``       — any component is ±Infinity
+    - ``zero_vector``   — every component == 0 (undefined direction:
+      poisons cosine similarity downstream — see similarity.py's seed
+      guard)
+    - ``out_of_range``  — any finite component with |x| > max_abs
+      (only when ``max_abs`` is given; the minInclusive/maxInclusive
+      facet applied element-wise)
+
+    All checks are exact comparisons (no float accumulation — a norm
+    threshold would be summation-order-sensitive across engines), so
+    the result replays bit-for-bit in any engine. Violation-cardinality
+    output; one scan, filters/pruning push down around it."""
+    if dim <= 0:
+        raise ValueError(f"dim must be > 0, got {dim}")
+    v = F.col(vec_col)
+    inf = F.lit(float("inf")).cast("float")
+    rules = [
+        ("vec_null", v.isNull()),
+        ("dim_mismatch", v.isNotNull() & (F.size(v) != dim)),
+        ("has_nan", v.isNotNull() & F.exists(v, lambda x: F.isnan(x))),
+        ("has_inf", v.isNotNull() & F.exists(v, lambda x: F.abs(x) == inf)),
+        (
+            "zero_vector",
+            v.isNotNull()
+            & (F.size(v) > 0)
+            & F.forall(v, lambda x: x == F.lit(0.0).cast("float")),
+        ),
+    ]
+    if max_abs is not None:
+        bound = F.lit(float(max_abs)).cast("float")
+        rules.append(
+            (
+                "out_of_range",
+                v.isNotNull()
+                & F.exists(
+                    v,
+                    lambda x: ~F.isnan(x)
+                    & (F.abs(x) != inf)
+                    & (F.abs(x) > bound),
+                ),
+            )
+        )
+    checks = F.array_compact(
+        F.array(
+            *[F.when(cond, F.lit(rule_id)) for rule_id, cond in rules]
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.explode(checks).alias("rule_id"))
+    )
