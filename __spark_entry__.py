@@ -1605,6 +1605,147 @@ def q_freshness_events(spark, sf_dir):
     )
 
 
+def q_benford_orders(spark, sf_dir):
+    """Benford first-digit conformance (drift.benford): o_totalprice per
+    order priority against the analytic log10(1 + 1/d) expectation, with
+    the Nigrini MAD >= 0.015 anomaly verdict. One grouped count shuffles
+    9 x group-cardinality rows; the 9-digit skeleton and per-group MAD
+    run on that counts table, never the data. Floats rounded to 6 on
+    both sides (the oracle replays the integer first-digit extraction
+    and the same full-precision expectation literals)."""
+    df = _t(spark, sf_dir, "orders", parallel=False)
+    out = drift_ops.benford(
+        df, "o_totalprice", ["o_orderpriority"], mad_threshold=0.015
+    )
+    return out.select(
+        "o_orderpriority",
+        "digit",
+        "n",
+        "n_total",
+        F.round("obs_freq", 6).alias("obs_freq"),
+        F.round("exp_freq", 6).alias("exp_freq"),
+        F.round("abs_dev", 6).alias("abs_dev"),
+        F.round("mad", 6).alias("mad"),
+        "is_anomalous",
+    )
+
+
+def q_vector_checks_embeddings(spark, sf_dir):
+    """Embedding-column validation (checks.vector_checks): violation rows
+    over a deterministically corrupted view of the embeddings table
+    (vec_id % {17,13,11,7,5} injects NULL / wrong-dim / NaN / Inf / all-
+    zero vectors — precedence chain, exactly replayable in SQL), plus
+    natural |x| > 0.42 out-of-range hits on the clean rows. All rules
+    are higher-order-function projections: one scan, no explode of the
+    64-wide arrays, no shuffle, no Python."""
+    df = _t(spark, sf_dir, "embeddings", parallel=False)
+    v = F.col("embedding")
+    nan = F.lit(float("nan")).cast("float")
+    inf = F.lit(float("inf")).cast("float")
+    corrupted = (
+        F.when(F.col("vec_id") % 17 == 0, F.lit(None).cast("array<float>"))
+        .when(F.col("vec_id") % 13 == 0, F.slice(v, 1, 63))
+        .when(F.col("vec_id") % 11 == 0, F.concat(F.array(nan), F.slice(v, 2, 63)))
+        .when(F.col("vec_id") % 7 == 0, F.concat(F.array(inf), F.slice(v, 2, 63)))
+        .when(
+            F.col("vec_id") % 5 == 0,
+            F.transform(v, lambda x: F.lit(0.0).cast("float")),
+        )
+        .otherwise(v)
+    )
+    d2 = df.select(F.col("vec_id"), corrupted.alias("embedding"))
+    return checks_ops.vector_checks(d2, "vec_id", "embedding", dim=64, max_abs=0.42)
+
+
+def q_snapshot_diff_orders(spark, sf_dir):
+    """Cross-snapshot reconciliation (checks.snapshot_diff): orders vs a
+    deterministically re-ingested version (keys % 97 dropped, % 89 price
+    bumped, % 83 status rewritten — some rows both, exercising the
+    comma-joined changed_cols — and % 101 re-keyed as additions). ONE
+    full-outer join on the key; per-column null-safe compare is a
+    map-side projection after it. The oracle replays the derivation and
+    the diff with IS DISTINCT FROM."""
+    before = _t(spark, sf_dir, "orders", parallel=False)
+    mod = (
+        before.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + F.lit(1.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 83 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    added = before.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    after = mod.unionByName(added)
+    return checks_ops.snapshot_diff(before, after, ["o_orderkey"])
+
+
+def q_seq_regressions_events(spark, sf_dir):
+    """Late-arrival audit (checks.sequence_regressions): event time going
+    >30 min backward in ingest order (event_id) per user, on a
+    deterministically disordered view (ts shifted back by
+    (event_id % 5) x 2 h — exact integer µs, replayed by the oracle).
+    Runs the HOT-SCOPE SCALE PATH (split_every=32: lag windows bounded
+    to 32 rows, cross-bucket pairs from a second lag over the per-bucket
+    min/max summary) against the single-window oracle — certifying the
+    split decomposition loses and invents nothing."""
+    ev = _t(spark, sf_dir, "events", parallel=False).select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - (F.col("event_id") % 5).cast("long") * F.lit(7200 * 1_000_000).cast("long")
+        ).alias("ts2"),
+    )
+    return checks_ops.sequence_regressions(
+        ev, "user_id", "event_id", "ts2", min_regression_sec=1800, split_every=32
+    )
+
+
+def q_completeness_events(spark, sf_dir):
+    """Per-partition completeness verdicts (checks.completeness): daily
+    null fractions of event_type/value/props over a deterministically
+    null-injected view (event_id % 11 nulls value, % 7 nulls props —
+    replayed in SQL), flagged beyond 10%. ONE grouped agg; the long-form
+    pivot explodes on the ~30 post-aggregation day rows, never the
+    data."""
+    df = (
+        _t(spark, sf_dir, "events", parallel=False)
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+                F.col("value")
+            ),
+        )
+        .withColumn(
+            "props",
+            F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+                F.col("props")
+            ),
+        )
+    )
+    out = checks_ops.completeness(
+        df, ["day"], ["event_type", "value", "props"], max_null_frac=0.1
+    )
+    return out.select(
+        "day",
+        "column",
+        "n_rows",
+        "n_null",
+        F.round("null_frac", 6).alias("null_frac"),
+        "is_incomplete",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full facet + identity validation of lineitem at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1634,21 +1775,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- window slots 1-50: the driver-certified set ------------------
         # core validation pass / verdict assembly
         "row_violations_orders": q_row_violations_orders,
-        "verdicts_lineitem": q_verdicts_lineitem,
         "one_pass_verdicts_lineitem": q_one_pass_verdicts_lineitem,
         "strict_mode_first_violation": q_strict_mode_first_violation,
         # identity constraints
         "unique_dups_salted": q_unique_dups_salted,
         "keyref_orphans": q_keyref_orphans,
-        "key_nulls_orders": q_key_nulls_orders,
         # stats / sketches / drift
         "stats_profile_customer": q_stats_profile_customer,
         "sketch_rollup_customer": q_sketch_rollup_customer,
-        "quantiles_customer": q_quantiles_customer,
-        "psi_drift_events": q_psi_drift_events,
         "ks_exact_events": q_ks_exact_events,
         "w1_drift_events": q_w1_drift_events,  # NEW r04: Wasserstein-1,
         # the units-of-the-column drift metric
+        "benford_orders": q_benford_orders,  # NEW r04: first-digit
+        # conformance vs the analytic Benford expectation, MAD verdicts
         # facet / builtin-type representatives
         "doc_rule_counts": q_doc_rule_counts,
         "nested_rules_docs": q_nested_rules_docs,
@@ -1662,6 +1801,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # robust per-partition volume verdicts (median ± 3·MAD)
         "freshness_events": q_freshness_events,  # NEW r04: per-partition
         # ingest-liveness verdicts vs a pinned 'now'
+        "snapshot_diff_orders": q_snapshot_diff_orders,  # NEW r04: key-level
+        # added/removed/changed reconciliation between two snapshots
+        "seq_regressions_events": q_seq_regressions_events,  # NEW r04:
+        # late-arrival audit, hot-scope split path vs single-window oracle
         # dedup / text / pipelines
         "exact_dedup_docs": q_exact_dedup_docs,
         "pipeline_clean_docs": q_pipeline_clean_docs,
@@ -1678,9 +1821,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # NEW r04:
         # SemDeDup cluster-then-dedup, fixed-seed Voronoi mode fully oracled
         "embedding_near_dups": q_embedding_near_dups,
+        "vector_checks_embeddings": q_vector_checks_embeddings,  # NEW r04:
+        # vector-typed facet pass (null/dim/NaN/Inf/zero/range), pure HOF
         # general aggregation / join
         "pricing_summary": q_pricing_summary,
-        "top_orders_per_segment": q_top_orders_per_segment,
+        "completeness_events": q_completeness_events,  # NEW r04: per-
+        # partition null-rate verdicts (Deequ-style completeness)
         # curation / temporal (round-3 additions, first driver window)
         "hash_sample_docs": q_hash_sample_docs,
         "pii_docs": q_pii_docs,
@@ -1706,6 +1852,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tier_events": q_asof_tier_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         # -- past the window: unchanged since their certifying round ------
+        "verdicts_lineitem": q_verdicts_lineitem,  # r03 (verdict assembly
+        # covered in-window by one_pass_verdicts + row_violations; demoted
+        # r04 for the four new check operators)
+        "quantiles_customer": q_quantiles_customer,  # r03 (stats family
+        # covered in-window by stats_profile + sketch_rollup)
+        "key_nulls_orders": q_key_nulls_orders,  # r03 (identity family
+        # covered in-window by unique_dups_salted + keyref_orphans)
+        "psi_drift_events": q_psi_drift_events,  # r03 (drift family covered
+        # in-window by ks_exact + w1 + benford)
+        "top_orders_per_segment": q_top_orders_per_segment,  # r01 (agg/join
+        # family covered in-window by pricing_summary; the broadcast-join
+        # + top-k window shape also exercised in-window by domain_cap)
         "digits_lineitem": q_digits_lineitem,  # r03 (facet family covered
         # in-window by duration_events + doc_rule_counts + nested_rules)
         "timezone_events": q_timezone_events,  # r03 (same facet family)
@@ -2111,7 +2269,174 @@ FROM d, a
         "SELECT doc_id FROM documents WHERE doc_id NOT IN "
         "(SELECT node FROM comp WHERE node <> component)"
     )
+    sql["benford_orders"] = _benford_oracle()
+    sql["completeness_events"] = """
+WITH e AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         event_type,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS props
+  FROM events
+),
+g AS (
+  SELECT day, count(*)::BIGINT AS n_rows,
+         (count(*) - count(event_type))::BIGINT AS nn1,
+         (count(*) - count(value))::BIGINT AS nn2,
+         (count(*) - count(props))::BIGINT AS nn3
+  FROM e GROUP BY day
+),
+l AS (
+  SELECT day, 'event_type' AS "column", n_rows, nn1 AS n_null FROM g
+  UNION ALL SELECT day, 'value', n_rows, nn2 FROM g
+  UNION ALL SELECT day, 'props', n_rows, nn3 FROM g
+)
+SELECT day, "column", n_rows, n_null,
+       round(n_null / n_rows, 6) AS null_frac,
+       n_null / n_rows > 0.1 AS is_incomplete
+FROM l
+"""
+    sql["vector_checks_embeddings"] = """
+WITH c AS (
+  SELECT vec_id,
+    CASE WHEN vec_id % 17 = 0 THEN NULL
+         WHEN vec_id % 13 = 0 THEN embedding[1:63]
+         WHEN vec_id % 11 = 0 THEN list_concat(['NaN'::FLOAT], embedding[2:64])
+         WHEN vec_id % 7 = 0 THEN list_concat(['Infinity'::FLOAT], embedding[2:64])
+         WHEN vec_id % 5 = 0 THEN list_transform(embedding, x -> 0.0::FLOAT)
+         ELSE embedding END AS e
+  FROM embeddings
+),
+v AS (
+  SELECT vec_id, 'vec_null' AS rule_id FROM c WHERE e IS NULL
+  UNION ALL
+  SELECT vec_id, 'dim_mismatch' FROM c WHERE e IS NOT NULL AND len(e) != 64
+  UNION ALL
+  SELECT vec_id, 'has_nan' FROM c
+   WHERE e IS NOT NULL AND len(list_filter(e, x -> isnan(x))) > 0
+  UNION ALL
+  SELECT vec_id, 'has_inf' FROM c
+   WHERE e IS NOT NULL AND len(list_filter(e, x -> isinf(x))) > 0
+  UNION ALL
+  SELECT vec_id, 'zero_vector' FROM c
+   WHERE e IS NOT NULL AND len(e) > 0
+     AND len(list_filter(e, x -> x != 0.0::FLOAT)) = 0
+  UNION ALL
+  SELECT vec_id, 'out_of_range' FROM c
+   WHERE e IS NOT NULL AND len(list_filter(
+     e, x -> NOT isnan(x) AND NOT isinf(x) AND abs(x) > 0.42::FLOAT)) > 0
+)
+SELECT vec_id, rule_id FROM v
+"""
+    # the changed_cols CASE order MUST be the sorted compare-column order
+    # snapshot_diff uses (o_custkey, o_orderdate, o_orderpriority,
+    # o_orderstatus, o_totalprice)
+    sql["snapshot_diff_orders"] = """
+WITH a0 AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority,
+         CASE WHEN o_orderkey % 83 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 != 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_orderdate, o_orderpriority,
+         o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+j AS (
+  SELECT b.o_orderkey AS bk, a.o_orderkey AS ak,
+         b.o_custkey AS b1, a.o_custkey AS a1,
+         b.o_orderdate AS b2, a.o_orderdate AS a2,
+         b.o_orderpriority AS b3, a.o_orderpriority AS a3,
+         b.o_orderstatus AS b4, a.o_orderstatus AS a4,
+         b.o_totalprice AS b5, a.o_totalprice AS a5
+  FROM orders b FULL OUTER JOIN a0 a ON b.o_orderkey = a.o_orderkey
+)
+SELECT coalesce(bk, ak) AS o_orderkey,
+  CASE WHEN bk IS NULL THEN 'added'
+       WHEN ak IS NULL THEN 'removed' ELSE 'changed' END AS status,
+  CASE WHEN bk IS NULL OR ak IS NULL THEN ''
+       ELSE concat_ws(',',
+         CASE WHEN b1 IS DISTINCT FROM a1 THEN 'o_custkey' END,
+         CASE WHEN b2 IS DISTINCT FROM a2 THEN 'o_orderdate' END,
+         CASE WHEN b3 IS DISTINCT FROM a3 THEN 'o_orderpriority' END,
+         CASE WHEN b4 IS DISTINCT FROM a4 THEN 'o_orderstatus' END,
+         CASE WHEN b5 IS DISTINCT FROM a5 THEN 'o_totalprice' END) END AS changed_cols
+FROM j
+WHERE bk IS NULL OR ak IS NULL
+   OR b1 IS DISTINCT FROM a1 OR b2 IS DISTINCT FROM a2
+   OR b3 IS DISTINCT FROM a3 OR b4 IS DISTINCT FROM a4
+   OR b5 IS DISTINCT FROM a5
+"""
+    # the split decomposition must equal the plain per-scope lag rule
+    # EXACTLY — the oracle is the single-window form
+    sql["seq_regressions_events"] = """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) - (event_id % 5) * 7200000000::BIGINT AS ts_us
+  FROM events
+),
+g AS (
+  SELECT user_id, event_id, ts_us,
+         lag(ts_us) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts_us
+  FROM e
+)
+SELECT user_id, event_id, ts_us, prev_ts_us,
+       prev_ts_us - ts_us AS regression_us
+FROM g
+WHERE prev_ts_us IS NOT NULL
+  AND prev_ts_us - ts_us > 1800::BIGINT * 1000000
+"""
     return sql
+
+
+def _benford_oracle() -> str:
+    """DuckDB replay of drift.benford on orders/o_totalprice grouped by
+    o_orderpriority: the SAME integer first-digit extraction (substr of
+    the floored value's BIGINT decimal form — no float log10), the SAME
+    full-precision expectation literals (repr round-trips the exact
+    doubles Spark's plan parses), n/n_total double division, and window
+    avg over the exactly-9-row digit skeleton."""
+    from xmlschema_spark.operators.drift import BENFORD_EXPECTED
+
+    values = ", ".join(
+        f"({d}, {BENFORD_EXPECTED[d]!r})" for d in range(1, 10)
+    )
+    return f"""
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*)::BIGINT AS n
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
+  GROUP BY 1, 2
+),
+sk AS (SELECT DISTINCT o_orderpriority FROM c),
+grid AS (SELECT o_orderpriority, d AS digit FROM sk, generate_series(1, 9) t(d)),
+exp AS (SELECT digit, exp_freq::DOUBLE AS exp_freq
+        FROM (VALUES {values}) e(digit, exp_freq)),
+j AS (
+  SELECT g.o_orderpriority, g.digit, coalesce(c.n, 0)::BIGINT AS n
+  FROM grid g LEFT JOIN c ON c.o_orderpriority = g.o_orderpriority AND c.digit = g.digit
+),
+w AS (
+  SELECT j.*, sum(n) OVER (PARTITION BY o_orderpriority)::BIGINT AS n_total FROM j
+),
+x AS (
+  SELECT w.o_orderpriority, w.digit, w.n, w.n_total,
+         w.n / w.n_total AS obs_freq, e.exp_freq,
+         abs(w.n / w.n_total - e.exp_freq) AS abs_dev
+  FROM w JOIN exp e ON e.digit = w.digit
+),
+z AS (
+  SELECT x.*, avg(abs_dev) OVER (PARTITION BY o_orderpriority) AS mad FROM x
+)
+SELECT o_orderpriority, digit, n, n_total,
+       round(obs_freq, 6) AS obs_freq,
+       round(exp_freq, 6) AS exp_freq,
+       round(abs_dev, 6) AS abs_dev,
+       round(mad, 6) AS mad,
+       mad > 0.015 AS is_anomalous
+FROM z
+"""
 
 
 def _oracle_sql_literals() -> dict[str, str]:

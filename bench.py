@@ -71,6 +71,11 @@ BENCH_QUERIES = [
     "volume_anomaly_events",      # robust volume verdicts (median ± k·MAD)
     "freshness_events",           # per-partition ingest-liveness verdicts
     "header_check_images",        # zero-decode container-header validation
+    "benford_orders",             # first-digit conformance (bounded grouped count)
+    "vector_checks_embeddings",   # vector facet pass, pure HOF projections
+    "snapshot_diff_orders",       # one full-outer join cross-snapshot reconciliation
+    "seq_regressions_events",     # late-arrival audit, split-window scale path
+    "completeness_events",        # per-partition null-rate verdicts (one wide agg)
 ]
 
 # sized so the timed suite runs for several seconds after the Arrow-native

@@ -149,3 +149,60 @@ def test_iceberg_sink_roundtrip(spark, df, tmp_path):
     # re-running a finished run is a no-op (idempotent overwritePartitions)
     run.run(df, batch_size=3)
     assert golden == _viol_set(run, spark)
+
+
+def test_state_carries_observed_batch_metrics(spark, df, tmp_path):
+    """Batch metrics ride the sink writes via observe() — no extra jobs —
+    and must equal the counts actually written to the sinks."""
+    import json
+
+    eng = ValidationEngine(_ruleset())
+    run = CheckpointedRun(eng, str(tmp_path / "obs"), "run_obs")
+    run.run(df, batch_size=8)  # one batch -> one metrics set
+    rows = [
+        json.loads(line)
+        for line in run.state_path.read_text().splitlines()
+        if line.strip()
+    ]
+    assert rows, "no state rows"
+    for r in rows:
+        for k in ("batch_violations", "batch_errors",
+                  "batch_rows_checked", "batch_parts_failed"):
+            assert k in r, (k, r)
+    # single batch: every row carries the same batch metrics, and they
+    # equal what the sinks hold
+    viol = run.violations(spark)
+    assert rows[0]["batch_violations"] == viol.count()
+    assert rows[0]["batch_errors"] == viol.filter(F.col("severity") == "error").count()
+    verd = run.verdicts(spark)
+    agg = verd.agg(
+        F.sum("rows_checked").alias("rows"),
+        F.count_if(F.col("status") == "FAIL").alias("failed"),
+    ).first()
+    assert rows[0]["batch_rows_checked"] == agg["rows"]
+    assert rows[0]["batch_parts_failed"] == agg["failed"]
+    assert rows[0]["batch_rows_checked"] == df.count()
+
+
+def test_observed_metrics_zero_violations(spark, tmp_path):
+    """A batch whose violations frame Catalyst folds to an empty relation
+    (no rule can fire) must record zero metrics, not crash (the
+    CollectMetrics node is eliminated with the empty relation)."""
+    import json
+
+    clean = generate_images_df(spark, 40, seed=7, n_parts=2, distributed=False)
+    eng = ValidationEngine(
+        RuleSet([Rule("id_not_null", "not_null", "image_id")]),
+        partition_col="part",
+    )
+    run = CheckpointedRun(eng, str(tmp_path / "zero"), "run_zero")
+    run.run(clean, batch_size=4)
+    rows = [
+        json.loads(line)
+        for line in run.state_path.read_text().splitlines()
+        if line.strip()
+    ]
+    assert rows and all(r["batch_violations"] == 0 for r in rows)
+    assert all(r["batch_errors"] == 0 for r in rows)
+    assert rows[0]["batch_rows_checked"] == 40
+    assert rows[0]["batch_parts_failed"] == 0

@@ -246,3 +246,70 @@ def test_benford_rejects_bad_threshold(spark):
     df = spark.createDataFrame([(1.0,)], "v double")
     with pytest.raises(ValueError):
         drift.benford(df, "v", mad_threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# completeness
+# ---------------------------------------------------------------------------
+
+def test_completeness_fractions_and_verdicts(spark):
+    df = spark.createDataFrame(
+        [
+            ("p1", "a", 1.0),
+            ("p1", None, 2.0),
+            ("p1", "c", None),
+            ("p1", "d", 4.0),
+            ("p2", None, None),
+            ("p2", None, 6.0),
+        ],
+        "part string, s string, v double",
+    )
+    out = {
+        (r["part"], r["column"]): (r["n_rows"], r["n_null"], r["null_frac"], r["is_incomplete"])
+        for r in checks.completeness(df, ["part"], ["s", "v"], max_null_frac=0.3).collect()
+    }
+    assert out[("p1", "s")] == (4, 1, 0.25, False)
+    assert out[("p1", "v")] == (4, 1, 0.25, False)
+    assert out[("p2", "s")] == (2, 2, 1.0, True)
+    assert out[("p2", "v")] == (2, 1, 0.5, True)
+
+
+def test_completeness_threshold_is_strict(spark):
+    # null_frac == max_null_frac is NOT incomplete (strict >)
+    df = spark.createDataFrame(
+        [("p", "a"), ("p", None)], "part string, s string"
+    )
+    rows = checks.completeness(df, ["part"], ["s"], max_null_frac=0.5).collect()
+    assert rows[0]["null_frac"] == 0.5 and not rows[0]["is_incomplete"]
+
+
+def test_completeness_default_columns_and_zero_threshold(spark):
+    df = spark.createDataFrame(
+        [("p", "a", 1.0), ("p", "b", None)], "part string, s string, v double"
+    )
+    out = {r["column"]: r["is_incomplete"] for r in checks.completeness(df, ["part"]).collect()}
+    assert set(out) == {"s", "v"}
+    assert out == {"s": False, "v": True}  # default max_null_frac=0.0, strict >
+
+
+def test_completeness_bad_params(spark):
+    df = spark.createDataFrame([("p", 1)], "part string, v int")
+    with pytest.raises(ValueError):
+        checks.completeness(df, [], ["v"])
+    with pytest.raises(ValueError):
+        checks.completeness(df, ["part"], ["part", "v"])
+    with pytest.raises(ValueError):
+        checks.completeness(df, ["part"], ["v"], max_null_frac=1.0)
+    with pytest.raises(ValueError):
+        checks.completeness(spark.createDataFrame([("p",)], "part string"), ["part"])
+
+
+def test_completeness_single_exchange_plan(spark):
+    """The table is shuffled exactly once (the grouped agg); the long-form
+    pivot must not add an exchange or touch the data again."""
+    df = spark.range(1000).selectExpr(
+        "CAST(id % 7 AS STRING) AS part", "id AS a",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE id END AS b",
+    )
+    plan = checks.completeness(df, ["part"], ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

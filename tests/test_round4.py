@@ -96,6 +96,11 @@ def test_certification_window_composition():
     assert "time_gaps_events" in window
     assert "volume_anomaly_events" in window
     assert "freshness_events" in window
+    assert "snapshot_diff_orders" in window
+    assert "seq_regressions_events" in window
+    assert "vector_checks_embeddings" in window
+    assert "benford_orders" in window
+    assert "completeness_events" in window
     # past-window entries must all have been driver-certified before
     # (image/pandas-UDF queries and the xxhash64 fingerprint excepted:
     # rows-only by necessity, each with an oracle-certified sibling)

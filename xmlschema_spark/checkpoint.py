@@ -33,7 +33,7 @@ import time
 from dataclasses import dataclass
 from pathlib import Path
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from xmlschema_spark.engine import ValidationEngine
@@ -43,6 +43,18 @@ from xmlschema_spark.rules import RuleSet
 
 def _ruleset_hash(ruleset: RuleSet) -> str:
     return hashlib.sha256(ruleset.to_json().encode()).hexdigest()[:16]
+
+
+def _observed(obs: Observation, empty_defaults: dict) -> dict:
+    """Read an Observation's metrics, tolerating the zero-row collapse:
+    when the observed side optimizes to an empty relation (e.g. a
+    violations frame Catalyst folds away because no rule fired), the
+    CollectMetrics node is eliminated with it and ``obs.get`` raises —
+    in exactly that case the correct metrics ARE the zeros."""
+    try:
+        return dict(obs.get)
+    except Exception:
+        return dict(empty_defaults)
 
 
 def _write_partitioned(df: DataFrame, target: str, sink_format: str) -> None:
@@ -147,6 +159,12 @@ class CheckpointedRun:
         """Process all pending partitions. ``fail_after_batches`` exists for
         the kill-and-resume test (FIXTURES.md `resume_midrun`).
 
+        Every state row carries observed batch metrics
+        (``batch_violations`` / ``batch_errors`` / ``batch_rows_checked``
+        / ``batch_parts_failed``) computed DURING the sink writes via
+        Spark's Observation API — no extra jobs or scans; the lineage
+        line an operator watches per checkpoint tick.
+
         ``with_stats=True`` additionally writes one DURABLE per-partition
         metrics row (typed counts/min/max + a mergeable DataSketches HLL
         sketch per column — the Iceberg partition-statistics model) per
@@ -181,12 +199,39 @@ class CheckpointedRun:
             eng = ValidationEngine(batch_rules, self.engine.id_col, part_col)
             result = eng.validate(sub, run_id=self.run_id, secondary=secondary, with_stats=False)
             t0 = time.time()
+            # batch metrics ride the sink actions themselves via observe()
+            # (Spark's Observation API): the aggregates are computed DURING
+            # the writes — zero extra jobs, zero extra scans — and land on
+            # every state row of the batch as lineage metrics. On a real
+            # cluster these are the numbers an operator watches per
+            # checkpoint tick, and a resumed run re-records them only for
+            # the partitions it re-validates.
+            obs_v = Observation(f"{self.run_id}_viol_{bi}")
+            observed_viol = result.violations.observe(
+                obs_v,
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(F.col("severity") == "error").alias("n_err"),
+            )
+            obs_d = Observation(f"{self.run_id}_verd_{bi}")
+            observed_verd = result.verdicts.observe(
+                obs_d,
+                F.sum("rows_checked").alias("rows"),
+                F.count_if(F.col("status") == "FAIL").alias("failed"),
+            )
             _write_partitioned(
-                result.violations.repartition("partition_id"),
+                observed_viol.repartition("partition_id"),
                 self.violations_dir,
                 self.sink_format,
             )
-            _write_partitioned(result.verdicts, self.verdicts_dir, self.sink_format)
+            _write_partitioned(observed_verd, self.verdicts_dir, self.sink_format)
+            vm = _observed(obs_v, {"n": 0, "n_err": 0})
+            dm = _observed(obs_d, {"rows": 0, "failed": 0})
+            metrics = {
+                "batch_violations": int(vm["n"]),
+                "batch_errors": int(vm["n_err"]),
+                "batch_rows_checked": int(dm["rows"] or 0),
+                "batch_parts_failed": int(dm["failed"]),
+            }
             if with_stats:
                 # scope column renamed to partition_id so the sink layout
                 # (.../stats/partition_id=<p>/) matches the other sinks and
@@ -207,6 +252,7 @@ class CheckpointedRun:
                         "status": "DONE",
                         "batch": bi,
                         "wall_sec": round(elapsed, 3),
+                        **metrics,
                         **lineage,
                     }
                     for p in batch

@@ -469,3 +469,66 @@ def vector_checks(
     return (
         df.select(F.col(id_col), F.explode(checks).alias("rule_id"))
     )
+
+
+def completeness(
+    df: DataFrame,
+    group_cols: list[str],
+    columns: list[str] | None = None,
+    max_null_frac: float = 0.0,
+) -> DataFrame:
+    """Per-partition completeness verdicts: for every group and checked
+    column, the row count, null count, null fraction, and
+    ``is_incomplete`` = ``null_frac > max_null_frac`` — the per-partition
+    verdict form of the null-rate column stat (``stats.profile`` reports
+    it globally; a broken upstream writer usually breaks PARTITIONS, so
+    the verdict granularity is the partition, matching the volume /
+    freshness checks). ``columns`` defaults to every non-group column.
+
+    Output is long-form (one row per group x column): group cols,
+    ``column``, ``n_rows``, ``n_null``, ``null_frac``, ``is_incomplete``.
+
+    Plan: ONE grouped aggregation over the table — the shuffle carries
+    group-cardinality rows of len(columns)+1 longs (count per column is
+    a partial map-side agg). The long-form pivot explodes a
+    len(columns)-element struct array on the POST-aggregation
+    group-cardinality rows, never on the data. No window, no join, no
+    driver data; at 10^12 rows this is the same single-exchange shape as
+    ``volume_anomaly`` with a wider (but still fixed-width) agg buffer."""
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    if columns is None:
+        columns = [c for c in df.columns if c not in set(group_cols)]
+    if not columns:
+        raise ValueError("no columns to check")
+    overlap = set(columns) & set(group_cols)
+    if overlap:
+        raise ValueError(f"columns overlap group_cols: {sorted(overlap)}")
+    if not 0.0 <= max_null_frac < 1.0:
+        raise ValueError(f"max_null_frac must be in [0, 1), got {max_null_frac}")
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.count(F.col(c)).alias(f"__nn_{i}") for i, c in enumerate(columns)
+    ]
+    g = df.groupBy(*group_cols).agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                (F.col("__n") - F.col(f"__nn_{i}")).alias("n_null"),
+            )
+            for i, c in enumerate(columns)
+        ]
+    )
+    return (
+        g.select(*group_cols, F.col("__n").alias("n_rows"), F.explode(pairs).alias("__p"))
+        .select(
+            *group_cols,
+            F.col("__p.column").alias("column"),
+            F.col("n_rows"),
+            F.col("__p.n_null").alias("n_null"),
+        )
+        .withColumn("null_frac", F.col("n_null") / F.col("n_rows"))
+        .withColumn(
+            "is_incomplete", F.col("null_frac") > F.lit(float(max_null_frac))
+        )
+    )
