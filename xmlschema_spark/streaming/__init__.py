@@ -15,3 +15,4 @@ from xmlschema_spark.streaming.stats import (  # noqa: F401
     streaming_partition_sketches,
 )
 from xmlschema_spark.streaming.sessions import session_stats_stream  # noqa: F401
+from xmlschema_spark.streaming.quality import quality_monitor_stream  # noqa: F401
