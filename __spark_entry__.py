@@ -1746,6 +1746,58 @@ def q_completeness_events(spark, sf_dir):
     )
 
 
+def q_distinctness_events(spark, sf_dir):
+    """Per-partition distinctness verdicts (checks.distinctness): daily
+    cardinality of event_type / user_id / a constant tag column —
+    event_type trips is_low_cardinality (≈5 values per ~330-row day),
+    user_id does not, and the constant column trips is_constant (the
+    dead-upstream-join symptom). Exact count_distinct (the Expand
+    collapses to distinct combinations before the one exchange); the
+    approx_count_distinct dial is the 10^12-row path."""
+    df = (
+        _t(spark, sf_dir, "events", parallel=False)
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("src_tag", F.lit("fixed"))
+    )
+    out = checks_ops.distinctness(
+        df, ["day"], ["event_type", "user_id", "src_tag"],
+        min_distinct_frac=0.05,
+    )
+    return out.select(
+        "day",
+        "column",
+        "n_rows",
+        "n_nonnull",
+        "n_distinct",
+        F.round("distinct_frac", 6).alias("distinct_frac"),
+        "is_constant",
+        "is_low_cardinality",
+    )
+
+
+def q_corr_drift_lineitem(spark, sf_dir):
+    """Cross-column relationship drift (drift.corr_drift): per-shipmonth
+    Pearson r of (quantity, extendedprice) vs the whole table, flagged
+    beyond |Δr| > 0.03. One scan/shuffle of the table (five co-moment
+    sums per month); global r is the broadcast sum of those group rows,
+    so both correlations derive from the same pass. r computed from raw
+    sums — the closed form any engine replays exactly."""
+    df = _t(spark, sf_dir, "lineitem", parallel=False).withColumn(
+        "month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    out = drift_ops.corr_drift(
+        df, "l_quantity", "l_extendedprice", "month", threshold=0.03
+    )
+    return out.select(
+        F.col("part").alias("month"),
+        "n",
+        F.round("r_part", 6).alias("r_part"),
+        F.round("r_global", 6).alias("r_global"),
+        F.round("abs_diff", 6).alias("abs_diff"),
+        "is_drifted",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full facet + identity validation of lineitem at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1788,10 +1840,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the units-of-the-column drift metric
         "benford_orders": q_benford_orders,  # NEW r04: first-digit
         # conformance vs the analytic Benford expectation, MAD verdicts
+        "corr_drift_lineitem": q_corr_drift_lineitem,  # NEW r04: cross-
+        # column Pearson relationship drift (one-pass co-moment sums)
         # facet / builtin-type representatives
         "doc_rule_counts": q_doc_rule_counts,
         "nested_rules_docs": q_nested_rules_docs,
-        "duration_events": q_duration_events,
         # dataset-shape quality checks (round-4 additions)
         "fd_violations_lineitem": q_fd_violations_lineitem,  # NEW r04:
         # functional-dependency audit, one grouped agg
@@ -1803,10 +1856,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ingest-liveness verdicts vs a pinned 'now'
         "snapshot_diff_orders": q_snapshot_diff_orders,  # NEW r04: key-level
         # added/removed/changed reconciliation between two snapshots
+        "distinctness_events": q_distinctness_events,  # NEW r04: per-
+        # partition cardinality verdicts (constant / low-card detector)
         "seq_regressions_events": q_seq_regressions_events,  # NEW r04:
         # late-arrival audit, hot-scope split path vs single-window oracle
         # dedup / text / pipelines
-        "exact_dedup_docs": q_exact_dedup_docs,
         "pipeline_clean_docs": q_pipeline_clean_docs,
         "dup_spans_docs": q_dup_spans_docs,  # NEW r04: substring-span
         # dedup (Lee et al. 2022) — full gram/island pipeline oracled
@@ -1864,6 +1918,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_segment": q_top_orders_per_segment,  # r01 (agg/join
         # family covered in-window by pricing_summary; the broadcast-join
         # + top-k window shape also exercised in-window by domain_cap)
+        "duration_events": q_duration_events,  # r03 (builtin-type family
+        # covered in-window by doc_rule_counts + nested_rules; moved past
+        # window r04 for corr_drift_lineitem)
+        "exact_dedup_docs": q_exact_dedup_docs,  # r03 (dedup family has 8
+        # in-window reps incl. pipeline_clean's exact-dedup stage; moved
+        # past window r04 for distinctness_events)
         "digits_lineitem": q_digits_lineitem,  # r03 (facet family covered
         # in-window by duration_events + doc_rule_counts + nested_rules)
         "timezone_events": q_timezone_events,  # r03 (same facet family)
@@ -2270,6 +2330,71 @@ FROM d, a
         "(SELECT node FROM comp WHERE node <> component)"
     )
     sql["benford_orders"] = _benford_oracle()
+    sql["distinctness_events"] = """
+WITH e AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, user_id,
+         'fixed' AS src_tag
+  FROM events
+),
+g AS (
+  SELECT day, count(*)::BIGINT AS n_rows,
+         count(event_type)::BIGINT AS nn1, count(DISTINCT event_type)::BIGINT AS nd1,
+         count(user_id)::BIGINT AS nn2, count(DISTINCT user_id)::BIGINT AS nd2,
+         count(src_tag)::BIGINT AS nn3, count(DISTINCT src_tag)::BIGINT AS nd3
+  FROM e GROUP BY day
+),
+l AS (
+  SELECT day, 'event_type' AS "column", n_rows, nn1 AS n_nonnull, nd1 AS n_distinct FROM g
+  UNION ALL SELECT day, 'user_id', n_rows, nn2, nd2 FROM g
+  UNION ALL SELECT day, 'src_tag', n_rows, nn3, nd3 FROM g
+)
+SELECT day, "column", n_rows, n_nonnull, n_distinct,
+       round(CASE WHEN n_nonnull > 0 THEN n_distinct / n_nonnull END, 6) AS distinct_frac,
+       n_nonnull > 0 AND n_distinct <= 1 AS is_constant,
+       coalesce(n_distinct / n_nonnull < 0.05, FALSE) AS is_low_cardinality
+FROM l
+"""
+    # r from RAW co-moment sums (the same closed form the Spark op uses) —
+    # NOT DuckDB's corr(), whose single-pass update order differs
+    sql["corr_drift_lineitem"] = """
+WITH s AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month, count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM (
+    SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y, l_shipdate
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      AND NOT isnan(l_quantity::DOUBLE) AND NOT isnan(l_extendedprice::DOUBLE)
+  ) GROUP BY 1
+),
+t AS (
+  SELECT sum(n)::BIGINT AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+         sum(sxx) AS tsxx, sum(syy) AS tsyy, sum(sxy) AS tsxy
+  FROM s
+),
+g AS (
+  SELECT CASE WHEN tn >= 2 AND tn * tsxx - tsx * tsx > 0 AND tn * tsyy - tsy * tsy > 0
+              THEN (tn * tsxy - tsx * tsy)
+                   / (sqrt(tn * tsxx - tsx * tsx) * sqrt(tn * tsyy - tsy * tsy))
+         END AS r_global
+  FROM t
+),
+p AS (
+  SELECT s.month, s.n,
+         CASE WHEN s.n >= 2 AND s.n * s.sxx - s.sx * s.sx > 0
+                   AND s.n * s.syy - s.sy * s.sy > 0
+              THEN (s.n * s.sxy - s.sx * s.sy)
+                   / (sqrt(s.n * s.sxx - s.sx * s.sx) * sqrt(s.n * s.syy - s.sy * s.sy))
+         END AS r_part,
+         g.r_global
+  FROM s, g
+)
+SELECT month, n, round(r_part, 6) AS r_part, round(r_global, 6) AS r_global,
+       round(abs(r_part - r_global), 6) AS abs_diff,
+       coalesce(abs(r_part - r_global) > 0.03, FALSE) AS is_drifted
+FROM p
+"""
     sql["completeness_events"] = """
 WITH e AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day,

@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "snapshot_diff_orders",       # one full-outer join cross-snapshot reconciliation
     "seq_regressions_events",     # late-arrival audit, split-window scale path
     "completeness_events",        # per-partition null-rate verdicts (one wide agg)
+    "distinctness_events",        # per-partition cardinality verdicts (Expand-collapse distinct)
+    "corr_drift_lineitem",        # cross-column Pearson drift (one-pass co-moment sums)
 ]
 
 # sized so the timed suite runs for several seconds after the Arrow-native

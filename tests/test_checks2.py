@@ -313,3 +313,107 @@ def test_completeness_single_exchange_plan(spark):
     )
     plan = checks.completeness(df, ["part"], ["a", "b"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# distinctness
+# ---------------------------------------------------------------------------
+
+def test_distinctness_verdicts(spark):
+    df = spark.createDataFrame(
+        [("p1", "a", 1), ("p1", "a", 2), ("p1", "a", 3), ("p1", "a", 4),
+         ("p2", "x", 1), ("p2", "y", 2), ("p2", None, 3)],
+        "part string, s string, v int",
+    )
+    out = {
+        (r["part"], r["column"]): (
+            r["n_rows"], r["n_nonnull"], r["n_distinct"],
+            r["distinct_frac"], r["is_constant"], r["is_low_cardinality"],
+        )
+        for r in checks.distinctness(
+            df, ["part"], ["s", "v"], min_distinct_frac=0.5
+        ).collect()
+    }
+    assert out[("p1", "s")] == (4, 4, 1, 0.25, True, True)
+    assert out[("p1", "v")] == (4, 4, 4, 1.0, False, False)
+    assert out[("p2", "s")] == (3, 2, 2, 1.0, False, False)
+    assert out[("p2", "v")] == (3, 3, 3, 1.0, False, False)
+
+
+def test_distinctness_all_null_column(spark):
+    df = spark.createDataFrame([("p", None), ("p", None)], "part string, s string")
+    r = checks.distinctness(df, ["part"], ["s"]).collect()[0]
+    # zero non-null: not constant (nothing to be constant AT), frac NULL
+    assert (r["n_nonnull"], r["n_distinct"], r["distinct_frac"],
+            r["is_constant"], r["is_low_cardinality"]) == (0, 0, None, False, False)
+
+
+def test_distinctness_approx_mode_close(spark):
+    df = spark.range(5000).selectExpr("'p' AS part", "id % 500 AS v")
+    exact = checks.distinctness(df, ["part"], ["v"]).collect()[0]
+    approx = checks.distinctness(df, ["part"], ["v"], exact=False, rsd=0.02).collect()[0]
+    assert exact["n_distinct"] == 500
+    assert abs(approx["n_distinct"] - 500) <= 500 * 0.06
+
+
+def test_distinctness_bad_params(spark):
+    df = spark.createDataFrame([("p", 1)], "part string, v int")
+    for bad in (
+        lambda: checks.distinctness(df, [], ["v"]),
+        lambda: checks.distinctness(df, ["part"], []),
+        lambda: checks.distinctness(df, ["part"], ["part"]),
+        lambda: checks.distinctness(df, ["part"], ["v"], min_distinct_frac=1.5),
+    ):
+        with pytest.raises(ValueError):
+            bad()
+
+
+# ---------------------------------------------------------------------------
+# corr_drift
+# ---------------------------------------------------------------------------
+
+def test_corr_drift_matches_numpy(spark):
+    import numpy as np
+
+    rows = []
+    rng = random.Random(7)
+    for i in range(300):
+        x = rng.uniform(0, 10)
+        rows.append(("pos", x, 2.0 * x + rng.uniform(-1, 1)))      # r ≈ +1
+    for i in range(300):
+        x = rng.uniform(0, 10)
+        rows.append(("neg", x, -3.0 * x + rng.uniform(-1, 1)))     # r ≈ −1
+    df = spark.createDataFrame(rows, "part string, x double, y double")
+    got = {r["part"]: r for r in drift.corr_drift(df, "x", "y", "part", 0.5).collect()}
+    for part in ("pos", "neg"):
+        xs = np.array([r[1] for r in rows if r[0] == part])
+        ys = np.array([r[2] for r in rows if r[0] == part])
+        want = float(np.corrcoef(xs, ys)[0, 1])
+        assert got[part]["r_part"] == pytest.approx(want, abs=1e-9)
+    xs = np.array([r[1] for r in rows]); ys = np.array([r[2] for r in rows])
+    want_g = float(np.corrcoef(xs, ys)[0, 1])
+    assert got["pos"]["r_global"] == pytest.approx(want_g, abs=1e-9)
+    # opposite-sign partitions both sit far from the mixed global r
+    assert got["pos"]["is_drifted"] and got["neg"]["is_drifted"]
+
+
+def test_corr_drift_degenerate_partitions(spark):
+    df = spark.createDataFrame(
+        [("const_x", 1.0, 1.0), ("const_x", 1.0, 2.0),
+         ("one_row", 3.0, 4.0),
+         ("nans", float("nan"), 1.0), ("nans", 2.0, float("nan")),
+         ("ok", 1.0, 1.0), ("ok", 2.0, 2.0), ("ok", 3.0, 3.0)],
+        "part string, x double, y double",
+    )
+    got = {r["part"]: r for r in drift.corr_drift(df, "x", "y", "part", 0.1).collect()}
+    assert got["const_x"]["r_part"] is None and not got["const_x"]["is_drifted"]
+    assert got["one_row"]["r_part"] is None and not got["one_row"]["is_drifted"]
+    # NaN pairs are filtered out entirely -> zero pairs -> no row or n=0
+    assert "nans" not in got or got["nans"]["n"] == 0
+    assert got["ok"]["r_part"] == pytest.approx(1.0)
+
+
+def test_corr_drift_bad_threshold(spark):
+    df = spark.createDataFrame([("p", 1.0, 2.0)], "part string, x double, y double")
+    with pytest.raises(ValueError):
+        drift.corr_drift(df, "x", "y", "part", threshold=0.0)

@@ -570,3 +570,92 @@ def benford(
         "mad",
         "is_anomalous",
     )
+
+
+def corr_drift(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    part_col: str,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Cross-column relationship drift: per-partition Pearson correlation
+    of (x, y) vs the whole table's, flagged when the absolute difference
+    exceeds ``threshold``. The univariate drift metrics (PSI/KS/W1/chi2/
+    JSD/Benford) can all pass while a BROKEN JOIN or unit mixup flips
+    the relationship BETWEEN columns — this is the detector for that
+    failure class.
+
+    Returns one row per partition: part, n (non-null pairs), r_part,
+    r_global, abs_diff, is_drifted. Degenerate partitions (zero variance
+    in either column, or < 2 pairs) get NULL r_part and are never
+    flagged.
+
+    Plan: the table is scanned and shuffled ONCE — a grouped agg of the
+    five co-moment sums (n, Σx, Σy, Σx², Σy², Σxy), partial map-side.
+    The global correlation is the SUM of those group rows (a second
+    group-cardinality agg, broadcast back as the 1-row-totals crossJoin
+    pattern), so global and per-partition r derive from the SAME pass —
+    no second scan, no driver math. r is computed from the raw sums
+    (n·Σxy − Σx·Σy over the √ product) rather than a built-in corr so
+    any engine replays the identical closed-form arithmetic."""
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    ok = (
+        x.isNotNull() & y.isNotNull() & ~F.isnan(x) & ~F.isnan(y)
+    )
+    sums = (
+        df.filter(ok)
+        .groupBy(F.col(part_col).alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+
+    def _r(n, sx, sy, sxx, syy, sxy):
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        return F.when(
+            (n >= F.lit(2)) & (vx > 0) & (vy > 0),
+            num / (F.sqrt(vx) * F.sqrt(vy)),
+        )
+
+    totals = sums.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("syy").alias("tsyy"),
+        F.sum("sxy").alias("tsxy"),
+    ).select(
+        _r(
+            F.col("tn"), F.col("tsx"), F.col("tsy"),
+            F.col("tsxx"), F.col("tsyy"), F.col("tsxy"),
+        ).alias("r_global")
+    )
+    out = (
+        sums.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "r_part",
+            _r(
+                F.col("n"), F.col("sx"), F.col("sy"),
+                F.col("sxx"), F.col("syy"), F.col("sxy"),
+            ),
+        )
+        .withColumn("abs_diff", F.abs(F.col("r_part") - F.col("r_global")))
+        .withColumn(
+            "is_drifted",
+            F.coalesce(F.col("abs_diff") > F.lit(float(threshold)), F.lit(False)),
+        )
+    )
+    return out.select(
+        "part", "n", "r_part", "r_global", "abs_diff", "is_drifted"
+    )
