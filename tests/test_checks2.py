@@ -417,3 +417,36 @@ def test_corr_drift_bad_threshold(spark):
     df = spark.createDataFrame([("p", 1.0, 2.0)], "part string, x double, y double")
     with pytest.raises(ValueError):
         drift.corr_drift(df, "x", "y", "part", threshold=0.0)
+
+
+def test_corr_drift_single_data_scale_exchange(spark):
+    """The event-scale table feeds exactly ONE shuffle (the co-moment
+    agg); the global sums come from a window over the SAME group rows —
+    one more single-partition exchange of group-cardinality rows, no
+    re-plan of the scan, no join."""
+    df = spark.range(5000).selectExpr(
+        "CAST(id % 13 AS STRING) part", "CAST(id AS DOUBLE) x", "CAST(id % 97 AS DOUBLE) y"
+    )
+    plan = drift.corr_drift(df, "x", "y", "part")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan, plan
+    # one partial+final agg pair over the data; nothing re-plans the source
+    assert plan.count("partial_count") == 1, plan
+
+
+def test_snapshot_diff_single_join_no_window(spark):
+    b = spark.range(2000).selectExpr("id AS k", "CAST(id AS STRING) s")
+    a = spark.range(2000).selectExpr("id + 1 AS k", "CAST(id AS STRING) s")
+    plan = checks.snapshot_diff(b, a, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Join") == 1, plan
+
+
+def test_vector_checks_no_shuffle_no_python(spark):
+    df = spark.range(1000).selectExpr(
+        "id", "array(CAST(id AS FLOAT), CAST(id + 1 AS FLOAT)) AS e"
+    )
+    plan = checks.vector_checks(df, "id", "e", dim=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "Arrow" not in plan, plan

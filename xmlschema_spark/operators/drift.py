@@ -593,12 +593,15 @@ def corr_drift(
 
     Plan: the table is scanned and shuffled ONCE — a grouped agg of the
     five co-moment sums (n, Σx, Σy, Σx², Σy², Σxy), partial map-side.
-    The global correlation is the SUM of those group rows (a second
-    group-cardinality agg, broadcast back as the 1-row-totals crossJoin
-    pattern), so global and per-partition r derive from the SAME pass —
-    no second scan, no driver math. r is computed from the raw sums
-    (n·Σxy − Σx·Σy over the √ product) rather than a built-in corr so
-    any engine replays the identical closed-form arithmetic."""
+    The global sums are an unpartitioned WINDOW over those group rows
+    (one single-partition exchange of group-cardinality fixed-width
+    rows — the accepted bounded pattern, see ks_exact — which REUSES
+    the agg output instead of re-planning the scan the way a second
+    aggregate consumer would), so global and per-partition r derive
+    from the same pass: no second scan, no persist, no driver math.
+    r is computed from the raw sums (n·Σxy − Σx·Σy over the √ product)
+    rather than a built-in corr so any engine replays the identical
+    closed-form arithmetic."""
     if threshold <= 0:
         raise ValueError(f"threshold must be > 0, got {threshold}")
     x = F.col(x_col).cast("double")
@@ -628,21 +631,15 @@ def corr_drift(
             num / (F.sqrt(vx) * F.sqrt(vy)),
         )
 
-    totals = sums.agg(
-        F.sum("n").alias("tn"),
-        F.sum("sx").alias("tsx"),
-        F.sum("sy").alias("tsy"),
-        F.sum("sxx").alias("tsxx"),
-        F.sum("syy").alias("tsyy"),
-        F.sum("sxy").alias("tsxy"),
-    ).select(
-        _r(
-            F.col("tn"), F.col("tsx"), F.col("tsy"),
-            F.col("tsxx"), F.col("tsyy"), F.col("tsxy"),
-        ).alias("r_global")
-    )
+    w = Window.partitionBy()
     out = (
-        sums.crossJoin(F.broadcast(totals))
+        sums.withColumn(
+            "r_global",
+            _r(
+                F.sum("n").over(w), F.sum("sx").over(w), F.sum("sy").over(w),
+                F.sum("sxx").over(w), F.sum("syy").over(w), F.sum("sxy").over(w),
+            ),
+        )
         .withColumn(
             "r_part",
             _r(
