@@ -1798,6 +1798,64 @@ def q_corr_drift_lineitem(spark, sf_dir):
     )
 
 
+def q_quality_suite_events(spark, sf_dir):
+    """The ONE-PASS quality suite (checks.quality_report): completeness +
+    distinctness + freshness + volume verdicts for every day of the
+    events table from a SINGLE scan — where q_completeness_events /
+    q_distinctness_events / q_freshness_events / q_volume_anomaly_events
+    each pay their own scan, this is the production shape: one grouped
+    agg carries every metric, and all four verdict families derive from
+    the ~30 group rows. Deterministic corruption makes every verdict
+    non-vacuous: event_id % 11 nulls value (incomplete), props pinned to
+    'p0' before Jan 4 (constant), Jan 15 thinned to event_id % 3 == 0
+    (volume anomaly), age vs pinned now 2024-02-03 beyond 7 days
+    (stale) — all exactly replayed by the oracle."""
+    df = (
+        _t(spark, sf_dir, "events", parallel=False)
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+                F.col("value")
+            ),
+        )
+        .withColumn(
+            "props",
+            F.when(F.col("day") < "2024-01-04", F.lit("p0")).otherwise(
+                F.col("props")
+            ),
+        )
+        .filter(~((F.col("day") == "2024-01-15") & (F.col("event_id") % 3 != 0)))
+    )
+    out = checks_ops.quality_report(
+        df,
+        ["day"],
+        ["event_type", "value", "props"],
+        max_null_frac=0.05,
+        min_distinct_frac=0.05,
+        ts_col="ts",
+        now="2024-02-03 00:00:00",
+        max_age_sec=7 * 86400,
+        volume_k=3.0,
+    )
+    return out.select(
+        "day",
+        "column",
+        "n_rows",
+        "n_null",
+        F.round("null_frac", 6).alias("null_frac"),
+        "is_incomplete",
+        "n_nonnull",
+        "n_distinct",
+        F.round("distinct_frac", 6).alias("distinct_frac"),
+        "is_constant",
+        "is_low_cardinality",
+        "age_us",
+        "is_stale",
+        "is_volume_anomaly",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full facet + identity validation of lineitem at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1860,11 +1918,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partition cardinality verdicts (constant / low-card detector)
         "seq_regressions_events": q_seq_regressions_events,  # NEW r04:
         # late-arrival audit, hot-scope split path vs single-window oracle
+        "quality_suite_events": q_quality_suite_events,  # NEW r04: the
+        # ONE-PASS quality suite — completeness + distinctness + freshness
+        # + volume verdicts from a single scan (Deequ VerificationSuite
+        # shape); displaces minhash_est_docs (driver-r03 hash) past the
+        # window
         # dedup / text / pipelines
         "pipeline_clean_docs": q_pipeline_clean_docs,
         "dup_spans_docs": q_dup_spans_docs,  # NEW r04: substring-span
         # dedup (Lee et al. 2022) — full gram/island pipeline oracled
-        "minhash_est_docs": q_minhash_est_docs,
         "near_dedup_minhash_keep": q_near_dedup_minhash_keep,
         "simhash_md5_dups_docs": q_simhash_md5_dups_docs,
         "jaccard_pairs_docs": q_jaccard_pairs_docs,
@@ -1906,6 +1968,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tier_events": q_asof_tier_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         # -- past the window: unchanged since their certifying round ------
+        "minhash_est_docs": q_minhash_est_docs,  # r03 (minhash family
+        # covered in-window by near_dedup_minhash_keep, which replays the
+        # estimate stage inside its end-to-end oracle; demoted r04 for
+        # quality_suite_events)
         "verdicts_lineitem": q_verdicts_lineitem,  # r03 (verdict assembly
         # covered in-window by one_pass_verdicts + row_violations; demoted
         # r04 for the four new check operators)
@@ -2418,6 +2484,49 @@ l AS (
 SELECT day, "column", n_rows, n_null,
        round(n_null / n_rows, 6) AS null_frac,
        n_null / n_rows > 0.1 AS is_incomplete
+FROM l
+"""
+    sql["quality_suite_events"] = """
+WITH e AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, ts, event_type,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value,
+         CASE WHEN strftime(ts, '%Y-%m-%d') < '2024-01-04' THEN 'p0' ELSE props END AS props
+  FROM events
+  WHERE NOT (strftime(ts, '%Y-%m-%d') = '2024-01-15' AND event_id % 3 != 0)
+),
+g AS (
+  SELECT day, count(*)::BIGINT AS n_rows,
+         count(event_type)::BIGINT AS nn1, count(DISTINCT event_type)::BIGINT AS nd1,
+         count(value)::BIGINT AS nn2, count(DISTINCT value)::BIGINT AS nd2,
+         count(props)::BIGINT AS nn3, count(DISTINCT props)::BIGINT AS nd3,
+         max(epoch_us(ts)) AS last_us
+  FROM e GROUP BY day
+),
+m AS (SELECT quantile_cont(n_rows, 0.5) AS med FROM g),
+a AS (SELECT quantile_cont(abs(g.n_rows - m.med), 0.5) AS mad FROM g, m),
+gv AS (
+  SELECT g.*,
+         epoch_us(TIMESTAMP '2024-02-03 00:00:00') - g.last_us AS age_us,
+         (epoch_us(TIMESTAMP '2024-02-03 00:00:00') - g.last_us)
+           > 604800::BIGINT * 1000000 AS is_stale,
+         abs(g.n_rows - m.med) > 3.0 * a.mad AS is_volume_anomaly
+  FROM g, m, a
+),
+l AS (
+  SELECT day, 'event_type' AS "column", n_rows, nn1 AS n_nonnull, nd1 AS n_distinct,
+         age_us, is_stale, is_volume_anomaly FROM gv
+  UNION ALL SELECT day, 'value', n_rows, nn2, nd2, age_us, is_stale, is_volume_anomaly FROM gv
+  UNION ALL SELECT day, 'props', n_rows, nn3, nd3, age_us, is_stale, is_volume_anomaly FROM gv
+)
+SELECT day, "column", n_rows,
+       (n_rows - n_nonnull)::BIGINT AS n_null,
+       round((n_rows - n_nonnull) / n_rows, 6) AS null_frac,
+       (n_rows - n_nonnull) / n_rows > 0.05 AS is_incomplete,
+       n_nonnull, n_distinct,
+       round(CASE WHEN n_nonnull > 0 THEN n_distinct / n_nonnull END, 6) AS distinct_frac,
+       n_nonnull > 0 AND n_distinct <= 1 AS is_constant,
+       coalesce(n_distinct / n_nonnull < 0.05, FALSE) AS is_low_cardinality,
+       age_us, is_stale, is_volume_anomaly
 FROM l
 """
     sql["vector_checks_embeddings"] = """

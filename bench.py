@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "completeness_events",        # per-partition null-rate verdicts (one wide agg)
     "distinctness_events",        # per-partition cardinality verdicts (Expand-collapse distinct)
     "corr_drift_lineitem",        # cross-column Pearson drift (one-pass co-moment sums)
+    "quality_suite_events",       # ONE-PASS quality suite (4 verdict families, 1 scan)
 ]
 
 # sized so the timed suite runs for several seconds after the Arrow-native

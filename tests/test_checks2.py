@@ -450,3 +450,154 @@ def test_vector_checks_no_shuffle_no_python(spark):
     plan = checks.vector_checks(df, "id", "e", dim=2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Python" not in plan and "Arrow" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# quality_report (the one-pass suite)
+# ---------------------------------------------------------------------------
+
+_QR_ROWS = [
+    # part, s, v, ts
+    ("p1", "a", 1.0, "2024-01-01 10:00:00"),
+    ("p1", None, 2.0, "2024-01-01 11:00:00"),
+    ("p1", "c", None, "2024-01-01 12:00:00"),
+    ("p1", "d", 4.0, "2024-01-02 09:00:00"),
+    ("p2", "k", 5.0, "2024-01-05 10:00:00"),
+    ("p2", "k", 6.0, "2024-01-05 11:00:00"),
+    ("p2", "k", None, "2024-01-06 23:59:59"),
+    ("p3", "x", 7.0, "2024-01-07 00:00:00"),
+]
+_QR_SCHEMA = "part string, s string, v double, ts string"
+
+
+def _qr_df(spark):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(_QR_ROWS, _QR_SCHEMA).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def test_quality_report_agrees_with_individual_checks(spark):
+    """The one-pass suite must produce EXACTLY the rows the four separate
+    checks produce — same metrics, same verdicts, over every group x
+    column."""
+    df = _qr_df(spark)
+    kw = dict(max_null_frac=0.3, min_distinct_frac=0.5)
+    suite = checks.quality_report(
+        df, ["part"], ["s", "v"],
+        ts_col="ts", now="2024-01-08 00:00:00", max_age_sec=3 * 86400,
+        volume_k=1.0, **kw,
+    )
+    srows = {(r["part"], r["column"]): r for r in suite.collect()}
+    suite.unpersist()
+
+    comp = {
+        (r["part"], r["column"]): r
+        for r in checks.completeness(df, ["part"], ["s", "v"], max_null_frac=0.3).collect()
+    }
+    dist = {
+        (r["part"], r["column"]): r
+        for r in checks.distinctness(df, ["part"], ["s", "v"], min_distinct_frac=0.5).collect()
+    }
+    fresh = {
+        r["part"]: r
+        for r in checks.freshness(df, ["part"], "ts", "2024-01-08 00:00:00", 3 * 86400).collect()
+    }
+    va = checks.volume_anomaly(df, ["part"], k=1.0)
+    vol = {r["part"]: r for r in va.collect()}
+    va.unpersist()
+
+    assert set(srows) == set(comp) == set(dist)
+    for key, r in srows.items():
+        c, d = comp[key], dist[key]
+        assert (r["n_rows"], r["n_null"], r["null_frac"], r["is_incomplete"]) == (
+            c["n_rows"], c["n_null"], c["null_frac"], c["is_incomplete"]
+        ), key
+        assert (r["n_nonnull"], r["n_distinct"], r["distinct_frac"],
+                r["is_constant"], r["is_low_cardinality"]) == (
+            d["n_nonnull"], d["n_distinct"], d["distinct_frac"],
+            d["is_constant"], d["is_low_cardinality"]
+        ), key
+        f, v = fresh[key[0]], vol[key[0]]
+        assert (r["age_us"], r["is_stale"]) == (f["age_us"], f["is_stale"]), key
+        assert r["is_volume_anomaly"] == v["is_anomaly"], key
+
+
+def test_quality_report_verdicts_non_vacuous(spark):
+    """On the crafted fixture every verdict family fires at least once
+    and not everywhere."""
+    suite = checks.quality_report(
+        _qr_df(spark), ["part"], ["s", "v"],
+        max_null_frac=0.3, min_distinct_frac=0.5,
+        ts_col="ts", now="2024-01-08 00:00:00", max_age_sec=3 * 86400,
+        volume_k=1.0,
+    )
+    rows = suite.collect()
+    suite.unpersist()
+    for flag in ("is_incomplete", "is_constant", "is_low_cardinality",
+                 "is_stale", "is_volume_anomaly"):
+        vals = {r[flag] for r in rows}
+        assert vals == {True, False}, (flag, vals)
+
+
+def test_quality_report_optional_dimensions_off(spark):
+    out = checks.quality_report(_qr_df(spark), ["part"], ["s"])
+    cols = out.columns
+    for absent in ("age_us", "is_stale", "is_volume_anomaly"):
+        assert absent not in cols
+    assert out.count() == 3  # 3 groups x 1 column; no persist side effects
+
+
+def test_quality_report_single_scan_single_exchange(spark):
+    """Without the volume dimension the plan is pure: the data is scanned
+    ONCE; the exact multi-distinct agg costs the standard two exchanges
+    (Expand collapsed to distinct (group, column, value) combinations
+    map-side, then the group rollup); the long-form pivot adds nothing."""
+    df = spark.range(3000).selectExpr(
+        "CAST(id % 7 AS STRING) part", "id AS a",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE id % 50 END AS b",
+        "timestamp_micros(CAST(id * 1000000 AS LONG)) AS ts",
+    )
+    plan = checks.quality_report(
+        df, ["part"], ["a", "b"],
+        ts_col="ts", now="1970-01-02 00:00:00", max_age_sec=3600,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Range") == 1, plan
+    # approx mode drops the Expand and one exchange: the fixed-width
+    # HLL-buffer single-shuffle shape for 10^12-row tables
+    plan2 = checks.quality_report(
+        df, ["part"], ["a", "b"], exact=False,
+        ts_col="ts", now="1970-01-02 00:00:00", max_age_sec=3600,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Exchange") == 1, plan2
+    assert "Expand" not in plan2, plan2
+    assert plan2.count("Range") == 1, plan2
+
+
+def test_quality_report_approx_mode_close(spark):
+    df = spark.range(5000).selectExpr("'p' AS part", "id % 500 AS v")
+    exact = checks.quality_report(df, ["part"], ["v"]).collect()[0]
+    approx = checks.quality_report(df, ["part"], ["v"], exact=False, rsd=0.02).collect()[0]
+    assert exact["n_distinct"] == 500
+    assert abs(approx["n_distinct"] - 500) <= 500 * 0.06
+
+
+def test_quality_report_bad_params(spark):
+    df = spark.createDataFrame([("p", 1)], "part string, v int")
+    for bad in (
+        lambda: checks.quality_report(df, [], ["v"]),
+        lambda: checks.quality_report(df, ["part"], []),
+        lambda: checks.quality_report(df, ["part"], ["part"]),
+        lambda: checks.quality_report(df, ["part"], ["v"], max_null_frac=1.0),
+        lambda: checks.quality_report(df, ["part"], ["v"], min_distinct_frac=-0.1),
+        lambda: checks.quality_report(df, ["part"], ["v"], ts_col="ts"),  # no now
+        lambda: checks.quality_report(
+            df, ["part"], ["v"], ts_col="ts", now="2024-01-01", max_age_sec=0
+        ),
+        lambda: checks.quality_report(df, ["part"], ["v"], volume_k=0.0),
+    ):
+        with pytest.raises(ValueError):
+            bad()

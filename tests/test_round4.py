@@ -103,6 +103,7 @@ def test_certification_window_composition():
     assert "completeness_events" in window
     assert "distinctness_events" in window
     assert "corr_drift_lineitem" in window
+    assert "quality_suite_events" in window
     # past-window entries must all have been driver-certified before
     # (image/pandas-UDF queries and the xxhash64 fingerprint excepted:
     # rows-only by necessity, each with an oracle-certified sibling)

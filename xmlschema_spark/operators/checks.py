@@ -623,3 +623,165 @@ def distinctness(
             ),
         )
     )
+
+
+def quality_report(
+    df: DataFrame,
+    group_cols: list[str],
+    columns: list[str],
+    max_null_frac: float = 0.0,
+    min_distinct_frac: float = 0.0,
+    ts_col: str | None = None,
+    now: str | None = None,
+    max_age_sec: int | None = None,
+    volume_k: float | None = None,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """The one-pass quality suite: :func:`completeness`,
+    :func:`distinctness`, :func:`freshness` and :func:`volume_anomaly`
+    verdicts for every partition from a SINGLE scan of the table — the
+    Deequ-VerificationSuite shape, and the per-partition verdict analog
+    of ``ValidationEngine.validate_one_pass`` (engine.py) applied to
+    dataset-shape checks instead of row facets. Running the four checks
+    separately scans a 10^12-row table four times; this runs ONE grouped
+    aggregation whose buffer carries every metric (count, per-column
+    non-null + distinct, max event time) and derives every verdict from
+    the group-cardinality result.
+
+    Output is long-form (one row per group x checked column): group
+    cols, ``column``, ``n_rows``, ``n_null``, ``null_frac``,
+    ``is_incomplete``, ``n_nonnull``, ``n_distinct``, ``distinct_frac``,
+    ``is_constant``, ``is_low_cardinality``, plus — when the optional
+    dimensions are enabled — the group-level ``age_us`` / ``is_stale``
+    (``ts_col``+``now``+``max_age_sec``) and ``is_volume_anomaly``
+    (``volume_k``: |n_rows − median| > k·MAD of all groups) repeated on
+    each of the group's rows.
+
+    Plan: ONE pass over the data — a single grouped aggregation
+    (``exact=True``: multi-column ``count_distinct`` via Expand,
+    collapsed to distinct combinations map-side BEFORE the exchange;
+    ``exact=False``: ``approx_count_distinct`` HLL buffers, no Expand —
+    the 10^12-row dial, same as :func:`distinctness`). The volume
+    verdict needs the median/MAD OF THE GROUPS, so with ``volume_k`` the
+    group-cardinality agg result is persisted and the robust stats come
+    back as broadcast 1-row joins (the :func:`volume_anomaly` shape);
+    the returned result is materialized eagerly and the intermediate
+    released — call ``.unpersist()`` on the RETURNED DataFrame when done
+    (the ``ValidationResult`` contract). Without ``volume_k`` the plan
+    is pure (no persist, no action).
+
+    Reference analog: one traversal validating every constraint kind at
+    once (validators/schema.py iter_errors walks the document ONCE for
+    facets, identities and occurrence), re-expressed over partitions."""
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    if not columns:
+        raise ValueError("columns must name at least one column")
+    overlap = set(columns) & set(group_cols)
+    if overlap:
+        raise ValueError(f"columns overlap group_cols: {sorted(overlap)}")
+    if not 0.0 <= max_null_frac < 1.0:
+        raise ValueError(f"max_null_frac must be in [0, 1), got {max_null_frac}")
+    if not 0.0 <= min_distinct_frac <= 1.0:
+        raise ValueError(
+            f"min_distinct_frac must be in [0, 1], got {min_distinct_frac}"
+        )
+    freshness_on = ts_col is not None
+    if freshness_on and (now is None or max_age_sec is None):
+        raise ValueError("ts_col requires explicit now and max_age_sec")
+    if max_age_sec is not None and max_age_sec <= 0:
+        raise ValueError(f"max_age_sec must be > 0, got {max_age_sec}")
+    if volume_k is not None and volume_k <= 0:
+        raise ValueError(f"volume_k must be > 0, got {volume_k}")
+
+    cnt = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact
+        else (lambda c: F.approx_count_distinct(c, rsd))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(columns):
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
+        aggs.append(cnt(c).alias(f"__nd_{i}"))
+    if freshness_on:
+        aggs.append(
+            F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("__last_us")
+        )
+    g = df.groupBy(*group_cols).agg(*aggs)
+
+    if volume_k is not None:
+        g = g.persist()
+        pct = lambda c: F.percentile(c, F.lit(0.5))  # noqa: E731
+        med = g.agg(pct(F.col("__n")).alias("__med_n"))
+        with_med = g.crossJoin(F.broadcast(med))
+        mad = with_med.agg(pct(F.abs(F.col("__n") - F.col("__med_n"))).alias("__mad_n"))
+        g2 = with_med.crossJoin(F.broadcast(mad)).withColumn(
+            "is_volume_anomaly",
+            F.abs(F.col("__n") - F.col("__med_n"))
+            > F.lit(float(volume_k)) * F.col("__mad_n"),
+        )
+    else:
+        g2 = g
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nn_{i}").alias("n_nonnull"),
+                F.col(f"__nd_{i}").alias("n_distinct"),
+            )
+            for i, c in enumerate(columns)
+        ]
+    )
+    group_level = []
+    if freshness_on:
+        now_us = F.unix_micros(F.lit(now).cast("timestamp"))
+        group_level += [
+            (now_us - F.col("__last_us")).alias("age_us"),
+            ((now_us - F.col("__last_us")) > int(max_age_sec) * 1_000_000).alias(
+                "is_stale"
+            ),
+        ]
+    if volume_k is not None:
+        group_level.append(F.col("is_volume_anomaly"))
+
+    out = (
+        g2.select(
+            *group_cols,
+            F.col("__n").alias("n_rows"),
+            *group_level,
+            F.explode(pairs).alias("__p"),
+        )
+        .select(
+            *group_cols,
+            F.col("__p.column").alias("column"),
+            F.col("n_rows"),
+            F.col("__p.n_nonnull").alias("n_nonnull"),
+            F.col("__p.n_distinct").alias("n_distinct"),
+            *[F.col(c) for c in ("age_us", "is_stale") if freshness_on],
+            *(["is_volume_anomaly"] if volume_k is not None else []),
+        )
+        .withColumn("n_null", F.col("n_rows") - F.col("n_nonnull"))
+        .withColumn("null_frac", F.col("n_null") / F.col("n_rows"))
+        .withColumn("is_incomplete", F.col("null_frac") > F.lit(float(max_null_frac)))
+        .withColumn(
+            "distinct_frac",
+            F.when(F.col("n_nonnull") > 0, F.col("n_distinct") / F.col("n_nonnull")),
+        )
+        .withColumn(
+            "is_constant", (F.col("n_nonnull") > 0) & (F.col("n_distinct") <= 1)
+        )
+        .withColumn(
+            "is_low_cardinality",
+            F.coalesce(
+                F.col("distinct_frac") < F.lit(float(min_distinct_frac)),
+                F.lit(False),
+            ),
+        )
+    )
+    if volume_k is not None:
+        out = out.persist()
+        out.count()  # (groups x columns) rows; materialize, free the agg cache
+        g.unpersist()
+    return out
