@@ -1798,6 +1798,38 @@ def q_corr_drift_lineitem(spark, sf_dir):
     )
 
 
+def q_paired_alignment_embeddings(spark, sf_dir):
+    """Cross-modal pair alignment (similarity.paired_cosine_check): each
+    vector paired with a deterministically derived partner — vec_id % 17
+    NULL, % 13 wrong-dim, % 11 reversed (decorrelated → misaligned),
+    % 7 all-zero, % 5 negated (cosine −1 → misaligned), else scaled ×2
+    (cosine exactly 1 → aligned, proving scale invariance). The wrong-
+    caption defect passes every per-column check; only the relationship
+    score catches it. Map-only plan: one scan, dot/norms in codegen, no
+    shuffle, no Python."""
+    df = _t(spark, sf_dir, "embeddings", parallel=False)
+    v = F.col("embedding")
+    partner = (
+        F.when(F.col("vec_id") % 17 == 0, F.lit(None).cast("array<float>"))
+        .when(F.col("vec_id") % 13 == 0, F.slice(v, 1, 63))
+        .when(F.col("vec_id") % 11 == 0, F.reverse(v))
+        .when(F.col("vec_id") % 7 == 0, F.transform(v, lambda x: F.lit(0.0).cast("float")))
+        .when(F.col("vec_id") % 5 == 0, F.transform(v, lambda x: (-x).cast("float")))
+        .otherwise(F.transform(v, lambda x: (x * F.lit(2.0)).cast("float")))
+    )
+    d2 = df.select("vec_id", v.alias("img_emb"), partner.alias("cap_emb"))
+    out = sim_ops.paired_cosine_check(
+        d2, "vec_id", "img_emb", "cap_emb", min_cosine=0.5, dim=64
+    )
+    return out.select(
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+        "comparable",
+        "reason",
+        "is_misaligned",
+    )
+
+
 def q_quality_suite_events(spark, sf_dir):
     """The ONE-PASS quality suite (checks.quality_report): completeness +
     distinctness + freshness + volume verdicts for every day of the
@@ -1933,7 +1965,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "near_dedup_keep_docs": q_near_dedup_keep_docs,
         # similarity / embeddings
-        "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "paired_alignment_embeddings": q_paired_alignment_embeddings,  # NEW
+        # r04: cross-modal pair-alignment validation (image ↔ caption
+        # cosine, misalignment + not-comparable verdicts); displaces
+        # cosine_topk_embeddings (driver-r02 hash) past the window
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # NEW r04:
         # SemDeDup cluster-then-dedup, fixed-seed Voronoi mode fully oracled
         "embedding_near_dups": q_embedding_near_dups,
@@ -1968,6 +2003,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tier_events": q_asof_tier_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         # -- past the window: unchanged since their certifying round ------
+        "cosine_topk_embeddings": q_cosine_topk_embeddings,  # r02 (ANN
+        # family covered in-window by semantic_dedup + embedding_near_dups
+        # + paired_alignment; demoted r04 for paired_alignment_embeddings)
         "minhash_est_docs": q_minhash_est_docs,  # r03 (minhash family
         # covered in-window by near_dedup_minhash_keep, which replays the
         # estimate stage inside its end-to-end oracle; demoted r04 for
@@ -2528,6 +2566,48 @@ SELECT day, "column", n_rows,
        coalesce(n_distinct / n_nonnull < 0.05, FALSE) AS is_low_cardinality,
        age_us, is_stale, is_volume_anomaly
 FROM l
+"""
+    sql["paired_alignment_embeddings"] = """
+WITH p AS (
+  SELECT vec_id, embedding AS l,
+    CASE WHEN vec_id % 17 = 0 THEN NULL
+         WHEN vec_id % 13 = 0 THEN embedding[1:63]
+         WHEN vec_id % 11 = 0 THEN list_reverse(embedding)
+         WHEN vec_id % 7 = 0 THEN list_transform(embedding, x -> 0.0::FLOAT)
+         WHEN vec_id % 5 = 0 THEN list_transform(embedding, x -> (-x)::FLOAT)
+         ELSE list_transform(embedding, x -> (x * 2.0)::FLOAT) END AS r
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, l, r,
+    CASE WHEN l IS NULL OR r IS NULL THEN 'null'
+         WHEN len(l) != 64 OR len(r) != 64 THEN 'dim'
+         WHEN len(list_filter(l, x -> isnan(x) OR abs(x) = 'Infinity'::FLOAT)) > 0
+           OR len(list_filter(r, x -> isnan(x) OR abs(x) = 'Infinity'::FLOAT)) > 0
+           THEN 'nonfinite'
+         WHEN list_aggregate(list_transform(l, x -> (x::DOUBLE) * (x::DOUBLE)), 'sum') = 0
+           OR list_aggregate(list_transform(r, x -> (x::DOUBLE) * (x::DOUBLE)), 'sum') = 0
+           THEN 'zero'
+         END AS reason
+  FROM p
+),
+-- DuckDB evaluates list_cosine_similarity vectorized even under a CASE
+-- guard, so non-comparable rows get a same-length dummy partner (l itself)
+-- that the guard then discards
+safe AS (
+  SELECT vec_id, reason, l,
+         CASE WHEN reason IS NULL THEN r ELSE l END AS r2
+  FROM s
+)
+SELECT vec_id,
+  round(CASE WHEN reason IS NULL
+             THEN list_cosine_similarity(l::DOUBLE[], r2::DOUBLE[]) END, 4) AS cosine,
+  reason IS NULL AS comparable,
+  reason,
+  coalesce(reason IS NULL
+           AND list_cosine_similarity(l::DOUBLE[], r2::DOUBLE[]) < 0.5, FALSE)
+    AS is_misaligned
+FROM safe
 """
     sql["vector_checks_embeddings"] = """
 WITH c AS (

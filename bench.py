@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "distinctness_events",        # per-partition cardinality verdicts (Expand-collapse distinct)
     "corr_drift_lineitem",        # cross-column Pearson drift (one-pass co-moment sums)
     "quality_suite_events",       # ONE-PASS quality suite (4 verdict families, 1 scan)
+    "paired_alignment_embeddings", # cross-modal pair alignment (map-only cosine)
 ]
 
 # sized so the timed suite runs for several seconds after the Arrow-native

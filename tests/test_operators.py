@@ -562,3 +562,97 @@ def test_phash_near_duplicates_empty(spark):
 def test_minhash_estimates_bad_bands(spark, docs):
     with pytest.raises(ValueError):
         dedup.minhash_estimates(docs, "text", "doc_id", num_hashes=10, bands=3)
+
+
+# ---------------------------------------------------------------------------
+# paired_cosine_check (cross-modal pair alignment)
+# ---------------------------------------------------------------------------
+
+def _pair_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "id int, l array<float>, r array<float>"
+    )
+
+
+def test_paired_cosine_values_and_verdicts(spark):
+    from xmlschema_spark.operators.similarity import paired_cosine_check
+
+    out = {
+        r["id"]: r
+        for r in paired_cosine_check(
+            _pair_df(
+                spark,
+                [
+                    (1, [1.0, 0.0], [2.0, 0.0]),     # same direction, scaled
+                    (2, [1.0, 0.0], [0.0, 1.0]),     # orthogonal
+                    (3, [1.0, 0.0], [-1.0, 0.0]),    # opposite
+                ],
+            ),
+            "id", "l", "r", min_cosine=0.5,
+        ).collect()
+    }
+    assert abs(out[1]["cosine"] - 1.0) < 1e-12 and not out[1]["is_misaligned"]
+    assert abs(out[2]["cosine"]) < 1e-12 and out[2]["is_misaligned"]
+    assert abs(out[3]["cosine"] + 1.0) < 1e-12 and out[3]["is_misaligned"]
+    assert all(out[i]["comparable"] and out[i]["reason"] is None for i in (1, 2, 3))
+
+
+def test_paired_cosine_not_comparable_reasons(spark):
+    from xmlschema_spark.operators.similarity import paired_cosine_check
+
+    nan = float("nan")
+    out = {
+        r["id"]: (r["comparable"], r["reason"], r["cosine"], r["is_misaligned"])
+        for r in paired_cosine_check(
+            _pair_df(
+                spark,
+                [
+                    (1, [1.0, 0.0], None),            # null
+                    (2, [1.0, 0.0], [1.0, 0.0, 0.0]), # dim
+                    (3, [1.0, nan], [1.0, 0.0]),      # nonfinite
+                    (4, [1.0, 0.0], [0.0, 0.0]),      # zero norm
+                    (5, None, [1.0, 0.0, 0.0]),       # null wins over dim
+                ],
+            ),
+            "id", "l", "r", min_cosine=0.5,
+        ).collect()
+    }
+    assert out[1] == (False, "null", None, False)
+    assert out[2] == (False, "dim", None, False)
+    assert out[3] == (False, "nonfinite", None, False)
+    assert out[4] == (False, "zero", None, False)
+    assert out[5] == (False, "null", None, False)
+
+
+def test_paired_cosine_explicit_dim(spark):
+    from xmlschema_spark.operators.similarity import paired_cosine_check
+
+    # equal lengths but both wrong vs the declared dim
+    rows = paired_cosine_check(
+        _pair_df(spark, [(1, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0])]),
+        "id", "l", "r", dim=2,
+    ).collect()
+    assert rows[0]["reason"] == "dim" and not rows[0]["comparable"]
+
+
+def test_paired_cosine_map_only_plan(spark):
+    from xmlschema_spark.operators.similarity import paired_cosine_check
+
+    df = spark.range(500).selectExpr(
+        "id",
+        "array(CAST(id AS FLOAT), CAST(1 AS FLOAT)) AS l",
+        "array(CAST(1 AS FLOAT), CAST(id AS FLOAT)) AS r",
+    )
+    plan = paired_cosine_check(df, "id", "l", "r")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "Arrow" not in plan, plan
+
+
+def test_paired_cosine_bad_params(spark):
+    from xmlschema_spark.operators.similarity import paired_cosine_check
+
+    df = _pair_df(spark, [(1, [1.0], [1.0])])
+    with pytest.raises(ValueError):
+        paired_cosine_check(df, "id", "l", "r", min_cosine=1.5)
+    with pytest.raises(ValueError):
+        paired_cosine_check(df, "id", "l", "r", dim=0)

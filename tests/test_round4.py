@@ -104,6 +104,7 @@ def test_certification_window_composition():
     assert "distinctness_events" in window
     assert "corr_drift_lineitem" in window
     assert "quality_suite_events" in window
+    assert "paired_alignment_embeddings" in window
     # past-window entries must all have been driver-certified before
     # (image/pandas-UDF queries and the xxhash64 fingerprint excepted:
     # rows-only by necessity, each with an oracle-certified sibling)

@@ -13,6 +13,9 @@
 - ``semantic_dedup`` — SemDeDup (Abbas et al. 2023): coarse k-means (or
   fixed-seed Voronoi) cells, then lower-id-wins cosine dedup WITHIN each
   cell — the cluster bounds the quadratic.
+- ``paired_cosine_check`` — cross-modal pair alignment: cosine between the
+  two embeddings OF THE SAME ROW (image ↔ its caption), misalignment and
+  not-comparable verdicts; map-only, no shuffle.
 """
 
 from __future__ import annotations
@@ -502,3 +505,66 @@ def semantic_dedup(
     out.count()  # materialize so the assignment cache can be released
     assigned.unpersist()
     return out
+
+
+def paired_cosine_check(
+    df: DataFrame,
+    id_col: str,
+    left_col: str,
+    right_col: str,
+    min_cosine: float = 0.2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cross-modal pair-alignment validation: for a table of PAIRED
+    embeddings (an image embedding and its caption embedding on the same
+    row — the contrastive-model layout of the image+caption input table),
+    score each pair's cosine and flag ``is_misaligned`` when it falls
+    below ``min_cosine``. A caption attached to the wrong image passes
+    every per-column check (both vectors are individually valid) — the
+    defect exists only in the RELATIONSHIP, which is what this validates:
+    the row-local multimodal analog of a keyref (the reference pairs an
+    IDREF to its xs:ID the same way — identities.py binds a referent to
+    its target; here the referent is the caption's embedding).
+
+    Pairs that cannot be scored are kept with ``comparable = false`` and
+    a ``reason``: ``'null'`` (either side missing), ``'dim'`` (length
+    mismatch, or ≠ ``dim`` when given), ``'nonfinite'`` (NaN/±Inf
+    component), ``'zero'`` (zero-norm side) — precedence in that order,
+    ``cosine`` NULL. Misalignment is asserted only on comparable pairs.
+
+    Plan: pure projection — dot product and norms via
+    ``aggregate``/``zip_with`` in codegen, one scan, no shuffle, no
+    Python, no explode of the vectors. At 10^12 rows this is a map-only
+    pass (the cheapest possible shape); feed ``is_misaligned`` into the
+    engine's verdict rollup for per-partition alignment rates."""
+    if not -1.0 <= min_cosine <= 1.0:
+        raise ValueError(f"min_cosine must be in [-1, 1], got {min_cosine}")
+    if dim is not None and dim <= 0:
+        raise ValueError(f"dim must be > 0, got {dim}")
+    left, right = F.col(left_col), F.col(right_col)
+
+    def _nonfinite(v):
+        return F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == float("inf")))
+
+    dim_bad = (
+        (F.size(left) != F.size(right))
+        if dim is None
+        else ((F.size(left) != dim) | (F.size(right) != dim))
+    )
+    na, nb = _norm(left), _norm(right)
+    reason = (
+        F.when(left.isNull() | right.isNull(), F.lit("null"))
+        .when(dim_bad, F.lit("dim"))
+        .when(_nonfinite(left) | _nonfinite(right), F.lit("nonfinite"))
+        .when((na == 0) | (nb == 0), F.lit("zero"))
+    )
+    cosine = F.when(reason.isNull(), _dot(left, right) / (na * nb))
+    return df.select(
+        F.col(id_col),
+        cosine.alias("cosine"),
+        reason.isNull().alias("comparable"),
+        reason.alias("reason"),
+        (reason.isNull() & (cosine < F.lit(float(min_cosine)))).alias(
+            "is_misaligned"
+        ),
+    )
