@@ -1798,6 +1798,24 @@ def q_corr_drift_lineitem(spark, sf_dir):
     )
 
 
+def q_lm_score_docs(spark, sf_dir):
+    """Bigram LM quality scoring (text.ngram_lm_score): add-0.5 bigram
+    statistics fit on the documents corpus itself, every doc scored by
+    mean log-probability (the CCNet perplexity-filter shape). Model
+    tables are vocabulary-bounded pre-aggregations; the scoring join is
+    skewed-fact → small-dim. The oracle replays tokenization, bigram
+    extraction, the count/context/vocab tables and the smoothed log
+    arithmetic verbatim."""
+    df = _t(spark, sf_dir, "documents", parallel=False)
+    out = text_ops.ngram_lm_score(df, "doc_id", "text", alpha=0.5)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("ppl", 4).alias("ppl"),
+    )
+
+
 def q_paired_alignment_embeddings(spark, sf_dir):
     """Cross-modal pair alignment (similarity.paired_cosine_check): each
     vector paired with a deterministically derived partner — vec_id % 17
@@ -1933,7 +1951,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_drift_lineitem": q_corr_drift_lineitem,  # NEW r04: cross-
         # column Pearson relationship drift (one-pass co-moment sums)
         # facet / builtin-type representatives
-        "doc_rule_counts": q_doc_rule_counts,
         "nested_rules_docs": q_nested_rules_docs,
         # dataset-shape quality checks (round-4 additions)
         "fd_violations_lineitem": q_fd_violations_lineitem,  # NEW r04:
@@ -1957,6 +1974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window
         # dedup / text / pipelines
         "pipeline_clean_docs": q_pipeline_clean_docs,
+        "lm_score_docs": q_lm_score_docs,  # NEW r04: bigram LM quality
+        # scoring (CCNet perplexity-filter shape), full arithmetic oracle;
+        # displaces doc_rule_counts (driver-r03 hash) past the window
         "dup_spans_docs": q_dup_spans_docs,  # NEW r04: substring-span
         # dedup (Lee et al. 2022) — full gram/island pipeline oracled
         "near_dedup_minhash_keep": q_near_dedup_minhash_keep,
@@ -2003,6 +2023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tier_events": q_asof_tier_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         # -- past the window: unchanged since their certifying round ------
+        "doc_rule_counts": q_doc_rule_counts,  # r03 (facet-rule family
+        # covered in-window by nested_rules_docs + row_violations_orders;
+        # demoted r04 for lm_score_docs)
         "cosine_topk_embeddings": q_cosine_topk_embeddings,  # r02 (ANN
         # family covered in-window by semantic_dedup + embedding_near_dups
         # + paired_alignment; demoted r04 for paired_alignment_embeddings)
@@ -2566,6 +2589,40 @@ SELECT day, "column", n_rows,
        coalesce(n_distinct / n_nonnull < 0.05, FALSE) AS is_low_cardinality,
        age_us, is_stale, is_volume_anomaly
 FROM l
+"""
+    sql["lm_score_docs"] = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}'']+'),
+                x -> length(x) > 0) AS t
+  FROM documents
+),
+bg0 AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(t) - 1),
+                          i -> {'w1': t[i], 'w2': t[i + 1]})) AS p
+  FROM toks
+),
+bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg0),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*)::BIGINT AS c FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT w2) AS v FROM bg),
+sc AS (
+  SELECT b.doc_id,
+         ln((coalesce(c12.c, 0) + 0.5) / (coalesce(c1.c, 0) + 0.5 * v.v)) AS logp
+  FROM bg b
+  LEFT JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+  LEFT JOIN c1 ON c1.w1 = b.w1, v
+),
+pd AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, avg(logp) AS avg_logp
+  FROM sc GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(pd.avg_logp, 6) AS avg_logp,
+       round(exp(-pd.avg_logp), 4) AS ppl
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
 """
     sql["paired_alignment_embeddings"] = """
 WITH p AS (

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "corr_drift_lineitem",        # cross-column Pearson drift (one-pass co-moment sums)
     "quality_suite_events",       # ONE-PASS quality suite (4 verdict families, 1 scan)
     "paired_alignment_embeddings", # cross-modal pair alignment (map-only cosine)
+    "lm_score_docs",              # bigram LM scoring (vocab-dim join + per-doc avg)
 ]
 
 # sized so the timed suite runs for several seconds after the Arrow-native

@@ -656,3 +656,101 @@ def test_paired_cosine_bad_params(spark):
         paired_cosine_check(df, "id", "l", "r", min_cosine=1.5)
     with pytest.raises(ValueError):
         paired_cosine_check(df, "id", "l", "r", dim=0)
+
+
+# ---------------------------------------------------------------------------
+# ngram_lm_score (bigram LM quality / perplexity filter)
+# ---------------------------------------------------------------------------
+
+def _py_lm_scores(docs, alpha=0.5, model=None):
+    """Pure-python reference of the add-alpha bigram scoring."""
+    import math
+    import re as _re
+
+    def toks(s):
+        return [t for t in _re.split(r"[^\w']+", s.lower()) if t]
+
+    def bigrams(s):
+        t = toks(s)
+        return list(zip(t, t[1:]))
+
+    model = docs if model is None else model
+    c12, c1, vocab = {}, {}, set()
+    for _, s in model:
+        for w1, w2 in bigrams(s):
+            c12[(w1, w2)] = c12.get((w1, w2), 0) + 1
+            c1[w1] = c1.get(w1, 0) + 1
+            vocab.add(w2)
+    V = len(vocab)
+    out = {}
+    for i, s in docs:
+        lps = [
+            math.log((c12.get((w1, w2), 0) + alpha) / (c1.get(w1, 0) + alpha * V))
+            for w1, w2 in bigrams(s)
+        ]
+        out[i] = (len(lps), sum(lps) / len(lps) if lps else None)
+    return out
+
+
+def test_ngram_lm_matches_python_reference(spark):
+    from xmlschema_spark.operators.text import ngram_lm_score
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "zq glorb zq"),
+        (4, "word"),          # 1 token -> no bigrams
+        (5, "the cat sat on the mat the cat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in ngram_lm_score(df, "doc_id", "text").collect()
+    }
+    want = _py_lm_scores(docs)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        if want[k][1] is None:
+            assert got[k][1] is None, k
+        else:
+            assert abs(got[k][1] - want[k][1]) < 1e-9, k
+
+
+def test_ngram_lm_fluent_beats_gibberish(spark):
+    from xmlschema_spark.operators.text import ngram_lm_score
+
+    corpus = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    probe = [(100, "the quick brown fox"), (101, "dog lazy the over jumps")]
+    df = spark.createDataFrame(corpus + probe, "doc_id int, text string")
+    got = {r["doc_id"]: r["avg_logp"] for r in ngram_lm_score(df, "doc_id", "text").collect()}
+    assert got[100] > got[101]  # in-distribution phrase scores higher
+
+
+def test_ngram_lm_separate_model_corpus(spark):
+    from xmlschema_spark.operators.text import ngram_lm_score
+
+    model = [(1, "alpha beta gamma"), (2, "alpha beta delta")]
+    docs = [(10, "alpha beta"), (11, "beta alpha")]
+    mdf = spark.createDataFrame(model, "doc_id int, text string")
+    ddf = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["avg_logp"]
+        for r in ngram_lm_score(ddf, "doc_id", "text", model_df=mdf).collect()
+    }
+    want = _py_lm_scores(docs, model=model)
+    for k in want:
+        assert abs(got[k] - want[k][1]) < 1e-9, k
+    assert got[10] > got[11]  # seen bigram beats unseen
+
+
+def test_ngram_lm_ppl_and_bad_alpha(spark):
+    import math
+
+    from xmlschema_spark.operators.text import ngram_lm_score
+
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id int, text string")
+    r = ngram_lm_score(df, "doc_id", "text").collect()[0]
+    assert abs(r["ppl"] - math.exp(-r["avg_logp"])) < 1e-9
+    with pytest.raises(ValueError):
+        ngram_lm_score(df, "doc_id", "text", alpha=0.0)

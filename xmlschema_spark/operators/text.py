@@ -141,3 +141,94 @@ def fingerprint_md5(col, k: int = 8) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", words)))
     smallest = F.slice(F.array_sort(F.transform(sh, lambda s: F.md5(s))), 1, k)
     return F.md5(F.concat_ws(",", smallest))
+
+
+def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent token pair, :func:`tokens`
+    tokenization. Docs with < 2 tokens emit nothing."""
+    toks = tokens(F.col(text_col))
+    n2 = F.size(toks) - 1
+    pairs = F.when(
+        n2 >= 1,
+        F.arrays_zip(
+            F.slice(toks, 1, n2).alias("w1"), F.slice(toks, 2, n2).alias("w2")
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"), F.explode(pairs).alias("__p"))
+        .select("__id", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model_df: DataFrame | None = None,
+    model_text_col: str | None = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Bigram language-model quality scoring — the CCNet-style
+    perplexity filter: fit add-α bigram statistics on a model corpus
+    (default: the scored corpus itself) and score every document by its
+    mean log-probability; gibberish, shuffled text and boilerplate-free
+    outliers land in the low tail even when every surface feature
+    (length, punctuation, stopword ratio — :func:`quality_features`)
+    looks normal. ``logp(w1 w2) = ln((c(w1,w2) + α) / (ctx(w1) + α·V))``
+    with ``ctx(w1) = Σ_w c(w1, w)`` and ``V`` = the distinct
+    next-word vocabulary; unseen bigrams/contexts degrade smoothly to
+    the α floor.
+
+    Output: one row per input document — id, ``n_bigrams``,
+    ``avg_logp`` (NULL when the doc has < 2 tokens), ``ppl`` =
+    exp(−avg_logp).
+
+    Plan at 10^12 docs: the model tables are PRE-AGGREGATED (one row
+    per bigram / per context word — vocabulary-bounded, zipf-shaped but
+    tiny next to the corpus), so the scoring join is a skewed-fact →
+    small-dim join: the doc-bigram side shuffles on (w1, w2) where AQE's
+    skew split handles the stopword-pair hot keys, and Spark broadcasts
+    the model sides outright when the vocab fits (the usual case). V and
+    the two count tables come from ONE explode of the model corpus
+    (ReusedExchange collapses the three aggs' shuffles); per-doc
+    aggregation is a partial map-side avg. No driver data, no UDFs —
+    ln/avg are codegen."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    model = df if model_df is None else model_df
+    mtext = text_col if model_text_col is None else model_text_col
+    mid = id_col if model_df is None else model.columns[0]
+    mbg = _bigram_rows(model, mid, mtext)
+    bigram_counts = mbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    ctx_counts = mbg.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    vocab = mbg.agg(F.count_distinct(F.col("w2")).alias("__v"))
+
+    doc_bg = _bigram_rows(df, id_col, text_col)
+    scored = (
+        doc_bg.join(bigram_counts, ["w1", "w2"], "left")
+        .join(ctx_counts, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__id",
+            F.log(
+                (F.coalesce(F.col("__c12"), F.lit(0)) + F.lit(float(alpha)))
+                / (
+                    F.coalesce(F.col("__c1"), F.lit(0))
+                    + F.lit(float(alpha)) * F.col("__v")
+                )
+            ).alias("__logp"),
+        )
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.avg("__logp").alias("avg_logp")
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "avg_logp",
+            F.exp(-F.col("avg_logp")).alias("ppl"),
+        )
+    )
