@@ -1816,6 +1816,22 @@ def q_lm_score_docs(spark, sf_dir):
     )
 
 
+def q_entropy_docs(spark, sf_dir):
+    """Token-distribution entropy (text.token_entropy): the gibberish /
+    keyword-stuffing detector — one (doc, token) grouped count (map-side
+    collapse) + one per-doc agg, H = ln(n) − Σ c·ln(c)/n replayed
+    verbatim by the oracle."""
+    df = _t(spark, sf_dir, "documents", parallel=False)
+    out = text_ops.token_entropy(df, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round("entropy", 6).alias("entropy"),
+        F.round("entropy_ratio", 6).alias("entropy_ratio"),
+    )
+
+
 def q_paired_alignment_embeddings(spark, sf_dir):
     """Cross-modal pair alignment (similarity.paired_cosine_check): each
     vector paired with a deterministically derived partner — vec_id % 17
@@ -1975,13 +1991,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / text / pipelines
         "pipeline_clean_docs": q_pipeline_clean_docs,
         "lm_score_docs": q_lm_score_docs,  # NEW r04: bigram LM quality
+        "entropy_docs": q_entropy_docs,  # NEW r04: token-distribution
+        # entropy (gibberish detector); displaces jaccard_pairs_docs
+        # (driver-r02 hash) past the window
         # scoring (CCNet perplexity-filter shape), full arithmetic oracle;
         # displaces doc_rule_counts (driver-r03 hash) past the window
         "dup_spans_docs": q_dup_spans_docs,  # NEW r04: substring-span
         # dedup (Lee et al. 2022) — full gram/island pipeline oracled
         "near_dedup_minhash_keep": q_near_dedup_minhash_keep,
         "simhash_md5_dups_docs": q_simhash_md5_dups_docs,
-        "jaccard_pairs_docs": q_jaccard_pairs_docs,
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "near_dedup_keep_docs": q_near_dedup_keep_docs,
         # similarity / embeddings
@@ -2023,6 +2041,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tier_events": q_asof_tier_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         # -- past the window: unchanged since their certifying round ------
+        "jaccard_pairs_docs": q_jaccard_pairs_docs,  # r02 (exact-jaccard
+        # family covered in-window by dedup_clusters_docs +
+        # near_dedup_keep_docs, both built on the same candidate pairs;
+        # demoted r04 for entropy_docs)
         "doc_rule_counts": q_doc_rule_counts,  # r03 (facet-rule family
         # covered in-window by nested_rules_docs + row_violations_orders;
         # demoted r04 for lm_score_docs)
@@ -2589,6 +2611,28 @@ SELECT day, "column", n_rows,
        coalesce(n_distinct / n_nonnull < 0.05, FALSE) AS is_low_cardinality,
        age_us, is_stale, is_volume_anomaly
 FROM l
+"""
+    sql["entropy_docs"] = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}'']+'),
+                x -> length(x) > 0) AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+c AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+pd AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+         ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy
+  FROM c GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(pd.n_distinct, 0)::BIGINT AS n_distinct,
+       round(pd.entropy, 6) AS entropy,
+       round(CASE WHEN pd.n_distinct >= 2
+                  THEN pd.entropy / ln(pd.n_distinct) END, 6) AS entropy_ratio
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
 """
     sql["lm_score_docs"] = """
 WITH toks AS (

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "quality_suite_events",       # ONE-PASS quality suite (4 verdict families, 1 scan)
     "paired_alignment_embeddings", # cross-modal pair alignment (map-only cosine)
     "lm_score_docs",              # bigram LM scoring (vocab-dim join + per-doc avg)
+    "entropy_docs",               # token entropy (two-level partial agg)
 ]
 
 # sized so the timed suite runs for several seconds after the Arrow-native

@@ -754,3 +754,60 @@ def test_ngram_lm_ppl_and_bad_alpha(spark):
     assert abs(r["ppl"] - math.exp(-r["avg_logp"])) < 1e-9
     with pytest.raises(ValueError):
         ngram_lm_score(df, "doc_id", "text", alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# token_entropy
+# ---------------------------------------------------------------------------
+
+def test_token_entropy_analytic_values(spark):
+    import math
+
+    from xmlschema_spark.operators.text import token_entropy
+
+    docs = [
+        (1, "a a a a"),          # one token type -> H = 0, ratio NULL
+        (2, "a b c d"),          # uniform over 4 -> H = ln 4, ratio 1
+        (3, "a a b b"),          # uniform over 2 -> H = ln 2, ratio 1
+        (4, ""),                 # empty -> no tokens
+        (5, "a a a b"),          # H = ln4 - (3 ln3)/4
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in token_entropy(
+            spark.createDataFrame(docs, "doc_id int, text string"), "doc_id", "text"
+        ).collect()
+    }
+    assert out[1]["entropy"] == 0.0 and out[1]["entropy_ratio"] is None
+    assert abs(out[2]["entropy"] - math.log(4)) < 1e-12
+    assert abs(out[2]["entropy_ratio"] - 1.0) < 1e-12
+    assert abs(out[3]["entropy"] - math.log(2)) < 1e-12
+    assert out[4]["n_tokens"] == 0 and out[4]["entropy"] is None
+    assert abs(out[5]["entropy"] - (math.log(4) - 3 * math.log(3) / 4)) < 1e-12
+    assert out[5]["n_distinct"] == 2
+
+
+def test_token_entropy_flags_stuffing(spark):
+    from xmlschema_spark.operators.text import token_entropy
+
+    docs = [
+        (1, "buy " * 47 + "click here now"),                   # stuffing
+        (2, "the quick brown fox jumps over a lazy dog today"),  # prose
+    ]
+    out = {
+        r["doc_id"]: r["entropy_ratio"]
+        for r in token_entropy(
+            spark.createDataFrame(docs, "doc_id int, text string"), "doc_id", "text"
+        ).collect()
+    }
+    assert out[2] > out[1]
+
+
+def test_token_entropy_partial_agg_plan(spark):
+    from xmlschema_spark.operators.text import token_entropy
+
+    df = spark.range(500).selectExpr("id", "'a b c a' AS text")
+    plan = token_entropy(df, "id", "text")._jdf.queryExecution().executedPlan().toString()
+    # the (doc, token) count collapses map-side before its exchange
+    assert "partial_count" in plan, plan
+    assert "Python" not in plan and "Arrow" not in plan, plan

@@ -106,6 +106,7 @@ def test_certification_window_composition():
     assert "quality_suite_events" in window
     assert "paired_alignment_embeddings" in window
     assert "lm_score_docs" in window
+    assert "entropy_docs" in window
     # past-window entries must all have been driver-certified before
     # (image/pandas-UDF queries and the xxhash64 fingerprint excepted:
     # rows-only by necessity, each with an oracle-certified sibling)

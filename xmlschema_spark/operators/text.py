@@ -232,3 +232,51 @@ def ngram_lm_score(
             F.exp(-F.col("avg_logp")).alias("ppl"),
         )
     )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy — the gibberish /
+    keyword-stuffing detector that length-and-punctuation features miss:
+    a doc that repeats one token has H ≈ 0, natural prose sits near its
+    vocabulary ceiling ``ln(n_distinct)``. Computed as
+    ``H = ln(n) − Σ c·ln(c) / n`` over per-token counts c (algebraically
+    identical to −Σ p·ln p, but needs no per-row p column).
+
+    Output: id, ``n_tokens``, ``n_distinct``, ``entropy`` (NULL for
+    empty docs), ``entropy_ratio`` = H / ln(n_distinct) ∈ [0, 1] (NULL
+    when n_distinct < 2 — a 1-token vocabulary has no scale to judge
+    against).
+
+    Plan: explode → ONE (doc, token) grouped count (the explode
+    collapses map-side, so the shuffle carries distinct (doc, token)
+    pairs, not tokens) → one per-doc agg — the :func:`repetition
+    <xmlschema_spark.operators.curation.repetition_features>` two-level
+    partial-agg shape, linear in corpus size, no UDFs."""
+    tok = tokens(F.col(text_col))
+    counts = (
+        df.select(F.col(id_col).alias("__id"), F.explode(tok).alias("__t"))
+        .groupBy("__id", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    per_doc = counts.groupBy("__id").agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (
+            F.log(F.sum("__c"))
+            - F.sum(F.col("__c") * F.log("__c")) / F.sum("__c")
+        ).alias("entropy"),
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+            F.col("entropy"),
+            F.when(
+                F.col("n_distinct") >= 2,
+                F.col("entropy") / F.log(F.col("n_distinct").cast("double")),
+            ).alias("entropy_ratio"),
+        )
+    )
