@@ -148,3 +148,91 @@ def test_quality_monitor_bad_params(spark, tmp_path):
         quality_monitor_stream(st, "ts", ["s"], max_null_frac=1.0)
     with pytest.raises(ValueError):
         quality_monitor_stream(st, "ts", ["s"], min_rows=-1)
+
+
+def test_quality_monitor_distinctness_golden(spark, tmp_path):
+    """distinct_rsd adds HLL cardinality to the SAME stateful agg: per
+    closed window, n_distinct (exact at these small cardinalities — HLL++
+    stays in its sparse-exact regime) and the live is_constant verdict."""
+    src = str(tmp_path / "src2")
+    for ids in BATCHES:
+        spark.createDataFrame(
+            [(i, None if i % 5 == 0 else f"s{i}", "k", BASE + (i // 30) * 60 + (i % 30))
+             for i in ids],
+            "id long, s string, c string, ts long",
+        ).withColumn("ts", F.timestamp_seconds(F.col("ts"))).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    qm = quality_monitor_stream(
+        spark.readStream.schema("id long, s string, c string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        "ts", ["s", "c"],
+        window="1 minute", watermark="0 seconds", distinct_rsd=0.05,
+    )
+    q = (
+        qm.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("qm_distinct")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM qm_distinct").collect()
+    assert len(rows) == 4  # windows 0 and 1 closed, 2 columns each
+    got = {(r["window_start"], r["column"]): r for r in rows}
+    for (ws, col), r in got.items():
+        if col == "s":
+            assert r["n_distinct"] == 24 and not r["is_constant"], r  # 30 - 6 nulls, all unique
+        else:
+            assert r["n_distinct"] == 1 and r["is_constant"], r
+
+
+def test_quality_monitor_distinctness_agrees_with_batch(spark, tmp_path):
+    """The streaming HLL estimate must equal batch
+    checks.distinctness(exact=False) at the same rsd over the same
+    windows — shared estimator, so tail and backfill agree."""
+    src = str(tmp_path / "src3")
+    _write_batches(spark, src)
+
+    qm = quality_monitor_stream(
+        _stream(spark, src), "ts", ["s", "v"],
+        window="1 minute", watermark="0 seconds", distinct_rsd=0.05,
+    )
+    q = (
+        qm.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("qm_agree")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_rows = {
+        (r["window_start"], r["column"]): r["n_distinct"]
+        for r in spark.sql("SELECT * FROM qm_agree").collect()
+    }
+
+    batch = spark.read.parquet(src).withColumn(
+        "w", F.window(F.col("ts"), "1 minute").getField("start")
+    )
+    batch_rows = {
+        (r["w"], r["column"]): r["n_distinct"]
+        for r in checks.distinctness(
+            batch, ["w"], ["s", "v"], exact=False, rsd=0.05
+        ).collect()
+    }
+    assert stream_rows  # closed windows only
+    for k, v in stream_rows.items():
+        assert batch_rows[k] == v, k
+
+
+def test_quality_monitor_bad_distinct_rsd(spark):
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError):
+        quality_monitor_stream(df, "timestamp", ["value"], distinct_rsd=1.5)

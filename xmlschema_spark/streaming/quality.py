@@ -37,6 +37,7 @@ def quality_monitor_stream(
     watermark: str = "2 hours",
     max_null_frac: float = 0.0,
     min_rows: int = 1,
+    distinct_rsd: float | None = None,
 ) -> DataFrame:
     """Streaming DataFrame (append mode) of one row per CLOSED window and
     checked column: ``window_start, window_end, column, n_rows, n_null,
@@ -44,16 +45,34 @@ def quality_monitor_stream(
     line an operator alerts on. ``is_incomplete`` = null_frac >
     ``max_null_frac`` (strict, the batch completeness rule);
     ``is_low_volume`` = n_rows < ``min_rows`` (per window, repeated on
-    every column row of that window)."""
+    every column row of that window).
+
+    ``distinct_rsd`` (e.g. ``0.05``) additionally tracks per-column
+    cardinality in the SAME stateful aggregation via
+    ``approx_count_distinct`` — a fixed-width HyperLogLog++ buffer per
+    open window (exact ``count_distinct`` would need unbounded per-value
+    state; HLL is the only streaming-safe cardinality sketch, and the
+    same dial batch ``checks.distinctness(exact=False)`` uses, so the
+    streaming tail and a batch backfill over the sink agree on the
+    estimator). Adds ``n_distinct`` and ``is_constant`` (n_distinct <= 1
+    on a window with non-null rows — the dead-upstream-join symptom,
+    live per window)."""
     if not columns:
         raise ValueError("columns must name at least one column")
     if not 0.0 <= max_null_frac < 1.0:
         raise ValueError(f"max_null_frac must be in [0, 1), got {max_null_frac}")
     if min_rows < 0:
         raise ValueError(f"min_rows must be >= 0, got {min_rows}")
+    if distinct_rsd is not None and not 0.0 < distinct_rsd < 1.0:
+        raise ValueError(f"distinct_rsd must be in (0, 1), got {distinct_rsd}")
     aggs = [F.count(F.lit(1)).alias("__n")] + [
         F.count(F.col(c)).alias(f"__nn_{i}") for i, c in enumerate(columns)
     ]
+    if distinct_rsd is not None:
+        aggs += [
+            F.approx_count_distinct(c, distinct_rsd).alias(f"__nd_{i}")
+            for i, c in enumerate(columns)
+        ]
     agg = (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("__w"))
@@ -64,11 +83,16 @@ def quality_monitor_stream(
             F.struct(
                 F.lit(c).alias("column"),
                 (F.col("__n") - F.col(f"__nn_{i}")).alias("n_null"),
+                *(
+                    [F.col(f"__nd_{i}").alias("n_distinct")]
+                    if distinct_rsd is not None
+                    else []
+                ),
             )
             for i, c in enumerate(columns)
         ]
     )
-    return (
+    out = (
         agg.select(
             F.col("__w.start").alias("window_start"),
             F.col("__w.end").alias("window_end"),
@@ -81,6 +105,11 @@ def quality_monitor_stream(
             F.col("__p.column").alias("column"),
             "n_rows",
             F.col("__p.n_null").alias("n_null"),
+            *(
+                [F.col("__p.n_distinct").alias("n_distinct")]
+                if distinct_rsd is not None
+                else []
+            ),
         )
         .withColumn("null_frac", F.col("n_null") / F.col("n_rows"))
         .withColumn(
@@ -88,3 +117,9 @@ def quality_monitor_stream(
         )
         .withColumn("is_low_volume", F.col("n_rows") < F.lit(int(min_rows)))
     )
+    if distinct_rsd is not None:
+        out = out.withColumn(
+            "is_constant",
+            (F.col("n_rows") > F.col("n_null")) & (F.col("n_distinct") <= 1),
+        )
+    return out
