@@ -1816,6 +1816,37 @@ def q_lm_score_docs(spark, sf_dir):
     )
 
 
+def q_keyref_coverage_orders(spark, sf_dir):
+    """Per-partition referential-coverage verdicts (identity.
+    keyref_coverage): orders→customer keyref rolled up per order
+    priority, on a deterministically broken view — customers with
+    c_custkey % 13 == 0 removed from the key set (orphans), o_custkey %
+    101 == 0 nulled (absent tuples, counted separately). ONE scan of the
+    fact side: broadcast LEFT join against the deduplicated keys,
+    collapsed immediately by a map-side-partial grouped agg."""
+    orders = _t(spark, sf_dir, "orders", parallel=False).withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 101 == 0, F.lit(None)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    customer = _t(spark, sf_dir, "customer", parallel=False).filter(
+        F.col("c_custkey") % 13 != 0
+    )
+    out = id_ops.keyref_coverage(
+        orders, ["o_custkey"], customer, ["c_custkey"],
+        ["o_orderpriority"], max_orphan_frac=0.05, broadcast_pk=True,
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_rows",
+        "n_null_fk",
+        "n_orphans",
+        F.round("orphan_frac", 6).alias("orphan_frac"),
+        "is_broken",
+    )
+
+
 def q_entropy_docs(spark, sf_dir):
     """Token-distribution entropy (text.token_entropy): the gibberish /
     keyword-stuffing detector — one (doc, token) grouped count (map-side
@@ -1955,7 +1986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strict_mode_first_violation": q_strict_mode_first_violation,
         # identity constraints
         "unique_dups_salted": q_unique_dups_salted,
-        "keyref_orphans": q_keyref_orphans,
+        "keyref_coverage_orders": q_keyref_coverage_orders,  # NEW r04:
+        # per-partition referential-coverage verdicts (the keyref rollup);
+        # displaces keyref_orphans (driver-r03 hash) past the window
         # stats / sketches / drift
         "stats_profile_customer": q_stats_profile_customer,
         "sketch_rollup_customer": q_sketch_rollup_customer,
@@ -2041,6 +2074,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tier_events": q_asof_tier_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         # -- past the window: unchanged since their certifying round ------
+        "keyref_orphans": q_keyref_orphans,  # r03 (identity/keyref family
+        # covered in-window by keyref_coverage_orders — the SAME left-anti
+        # semantics rolled up — plus unique_dups_salted; demoted r04)
         "jaccard_pairs_docs": q_jaccard_pairs_docs,  # r02 (exact-jaccard
         # family covered in-window by dedup_clusters_docs +
         # near_dedup_keep_docs, both built on the same candidate pairs;
@@ -2611,6 +2647,32 @@ SELECT day, "column", n_rows,
        coalesce(n_distinct / n_nonnull < 0.05, FALSE) AS is_low_cardinality,
        age_us, is_stale, is_volume_anomaly
 FROM l
+"""
+    sql["keyref_coverage_orders"] = """
+WITH dim AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 13 != 0
+),
+f AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 101 = 0 THEN NULL ELSE o_custkey END AS fk
+  FROM orders
+),
+j AS (
+  SELECT f.o_orderpriority, f.fk, dim.c_custkey AS hit
+  FROM f LEFT JOIN dim ON dim.c_custkey = f.fk
+),
+g AS (
+  SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_fk,
+         sum(CASE WHEN fk IS NOT NULL AND hit IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_orphans
+  FROM j GROUP BY 1
+)
+SELECT o_orderpriority, n_rows, n_null_fk, n_orphans,
+       round(CASE WHEN n_rows - n_null_fk > 0
+                  THEN n_orphans / (n_rows - n_null_fk) END, 6) AS orphan_frac,
+       coalesce(n_orphans / (n_rows - n_null_fk) > 0.05, FALSE) AS is_broken
+FROM g
 """
     sql["entropy_docs"] = """
 WITH toks AS (

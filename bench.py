@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "paired_alignment_embeddings", # cross-modal pair alignment (map-only cosine)
     "lm_score_docs",              # bigram LM scoring (vocab-dim join + per-doc avg)
     "entropy_docs",               # token entropy (two-level partial agg)
+    "keyref_coverage_orders",     # referential-coverage verdicts (BHJ + one agg)
 ]
 
 # sized so the timed suite runs for several seconds after the Arrow-native

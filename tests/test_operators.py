@@ -811,3 +811,75 @@ def test_token_entropy_partial_agg_plan(spark):
     # the (doc, token) count collapses map-side before its exchange
     assert "partial_count" in plan, plan
     assert "Python" not in plan and "Arrow" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# keyref_coverage (per-partition referential verdicts)
+# ---------------------------------------------------------------------------
+
+def test_keyref_coverage_golden(spark):
+    from xmlschema_spark.operators.identity import keyref_coverage
+
+    fact = spark.createDataFrame(
+        [
+            ("p1", 1), ("p1", 2), ("p1", 99),           # one orphan
+            ("p2", None), ("p2", None),                 # all-null fks
+            ("p3", 98), ("p3", 99), ("p3", 1), ("p3", None),  # 2/3 orphans
+        ],
+        "part string, fk int",
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    out = {
+        r["part"]: (r["n_rows"], r["n_null_fk"], r["n_orphans"],
+                    r["orphan_frac"], r["is_broken"])
+        for r in keyref_coverage(
+            fact, ["fk"], dim, ["k"], ["part"], max_orphan_frac=0.5
+        ).collect()
+    }
+    assert out["p1"] == (3, 0, 1, 1 / 3, False)
+    assert out["p2"] == (2, 2, 0, None, False)  # no non-null fks: no verdict
+    assert out["p3"] == (4, 1, 2, 2 / 3, True)
+
+
+def test_keyref_coverage_composite_and_duplicate_pk(spark):
+    from xmlschema_spark.operators.identity import keyref_coverage
+
+    fact = spark.createDataFrame(
+        [("p", 1, "a"), ("p", 1, "b"), ("p", 2, "a")], "part string, k1 int, k2 string"
+    )
+    # duplicated pk tuples must not double-count fact rows (left join + dedup)
+    dim = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b")], "d1 int, d2 string"
+    )
+    r = keyref_coverage(
+        fact, ["k1", "k2"], dim, ["d1", "d2"], ["part"]
+    ).collect()[0]
+    assert (r["n_rows"], r["n_orphans"]) == (3, 1)
+
+
+def test_keyref_coverage_bad_params(spark):
+    from xmlschema_spark.operators.identity import keyref_coverage
+
+    fact = spark.createDataFrame([("p", 1)], "part string, fk int")
+    dim = spark.createDataFrame([(1,)], "k int")
+    for bad in (
+        lambda: keyref_coverage(fact, ["fk"], dim, ["k", "k2"], ["part"]),
+        lambda: keyref_coverage(fact, ["fk"], dim, ["k"], []),
+        lambda: keyref_coverage(fact, ["fk"], dim, ["k"], ["part"], max_orphan_frac=1.0),
+    ):
+        with pytest.raises(ValueError):
+            bad()
+
+
+def test_keyref_coverage_broadcast_single_agg_plan(spark):
+    from xmlschema_spark.operators.identity import keyref_coverage
+
+    fact = spark.range(5000).selectExpr("CAST(id % 7 AS STRING) part", "id % 100 AS fk")
+    dim = spark.range(80).selectExpr("id AS k")
+    plan = keyref_coverage(
+        fact, ["fk"], dim, ["k"], ["part"], broadcast_pk=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # fact side: no shuffle before the join; one exchange for the rollup
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan, plan

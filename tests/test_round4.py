@@ -107,6 +107,7 @@ def test_certification_window_composition():
     assert "paired_alignment_embeddings" in window
     assert "lm_score_docs" in window
     assert "entropy_docs" in window
+    assert "keyref_coverage_orders" in window
     # past-window entries must all have been driver-certified before
     # (image/pandas-UDF queries and the xxhash64 fingerprint excepted:
     # rows-only by necessity, each with an oracle-certified sibling)

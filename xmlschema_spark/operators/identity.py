@@ -106,3 +106,81 @@ def keyref_orphans(
     for c in fk_columns:
         fk = fk.filter(F.col(c).isNotNull())
     return fk.join(pk_keys, on=fk_columns, how="left_anti")
+
+
+def keyref_coverage(
+    fk_df: DataFrame,
+    fk_columns: list[str],
+    pk_df: DataFrame,
+    pk_columns: list[str],
+    group_cols: list[str],
+    max_orphan_frac: float = 0.0,
+    broadcast_pk: bool | None = None,
+) -> DataFrame:
+    """Per-partition referential-integrity VERDICTS — the rollup form of
+    :func:`keyref_orphans`: for every group, how many fk rows resolve
+    against the key set, how many are orphans or carry a NULL-component
+    tuple (absent per the reference's rule, identities.py:298-318,
+    counted separately here so a partition full of NULL fks cannot
+    silently "pass"), and ``is_broken`` = orphan_frac >
+    ``max_orphan_frac``. The keyref analog of
+    :func:`~xmlschema_spark.operators.checks.completeness`: row-level
+    orphan output answers "which rows", this answers "which PARTITIONS
+    did a broken upstream join/load corrupt".
+
+    Output: group cols, ``n_rows``, ``n_null_fk``, ``n_orphans``,
+    ``orphan_frac`` (over non-null fk rows; NULL when the group has
+    none), ``is_broken``.
+
+    Plan: ONE scan of the fact side — a LEFT join against the
+    deduplicated key tuples (broadcast when the dim fits —
+    ``broadcast_pk`` as in :func:`keyref_orphans`; AQE skew-split
+    otherwise) immediately collapsed by a grouped agg with map-side
+    partials, so the exchange after the join carries group-cardinality
+    rows. No second pass, no row-level materialization."""
+    if len(fk_columns) != len(pk_columns):
+        raise ValueError(
+            f"field cardinality mismatch: {fk_columns} vs {pk_columns} "
+            "(cf. identities.py:274-275)"
+        )
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    if not 0.0 <= max_orphan_frac < 1.0:
+        raise ValueError(
+            f"max_orphan_frac must be in [0, 1), got {max_orphan_frac}"
+        )
+    pk_keys = (
+        pk_df.select(*[F.col(p).alias(f) for f, p in zip(fk_columns, pk_columns)])
+        .dropDuplicates(fk_columns)
+        .withColumn("__hit", F.lit(1))
+    )
+    if broadcast_pk:
+        pk_keys = F.broadcast(pk_keys)
+    import functools
+    import operator
+
+    null_fk = functools.reduce(
+        operator.or_, [F.col(c).isNull() for c in fk_columns]
+    )
+    joined = fk_df.join(pk_keys, on=fk_columns, how="left").select(
+        *group_cols,
+        null_fk.alias("__null_fk"),
+        (~null_fk & F.col("__hit").isNull()).alias("__orphan"),
+    )
+    g = joined.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("__null_fk").cast("long")).alias("n_null_fk"),
+        F.sum(F.col("__orphan").cast("long")).alias("n_orphans"),
+    )
+    nonnull = F.col("n_rows") - F.col("n_null_fk")
+    return (
+        g.withColumn(
+            "orphan_frac", F.when(nonnull > 0, F.col("n_orphans") / nonnull)
+        )
+        .withColumn(
+            "is_broken",
+            F.coalesce(
+                F.col("orphan_frac") > F.lit(float(max_orphan_frac)), F.lit(False)
+            ),
+        )
+    )
