@@ -1970,7 +1970,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the local mirror (``scripts/check_entry.py``, which checks ALL of
     them) and by prior-round driver certification — every entry past 50
     is byte-identical to a version the driver certified in an earlier
-    round (CORRECTNESS_r01–r03). The window therefore holds exactly one
+    round (CORRECTNESS_r01–r04), with one exception:
+    ``minhash_est_docs`` was refactored onto the shared cached helper
+    ``_shared_minhash_est`` (same operator, same parameters — semantically
+    identical, re-verified by the local mirror hash, not byte-identical).
+    The window therefore holds exactly one
     best representative per operator family (round-3 verdict item #1):
     every query that was never driver-certified, every query modified
     this round, and one headline representative of each previously
@@ -2024,11 +2028,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / text / pipelines
         "pipeline_clean_docs": q_pipeline_clean_docs,
         "lm_score_docs": q_lm_score_docs,  # NEW r04: bigram LM quality
+        # scoring (CCNet perplexity-filter shape), full arithmetic oracle;
+        # displaces doc_rule_counts (driver-r03 hash) past the window
         "entropy_docs": q_entropy_docs,  # NEW r04: token-distribution
         # entropy (gibberish detector); displaces jaccard_pairs_docs
         # (driver-r02 hash) past the window
-        # scoring (CCNet perplexity-filter shape), full arithmetic oracle;
-        # displaces doc_rule_counts (driver-r03 hash) past the window
         "dup_spans_docs": q_dup_spans_docs,  # NEW r04: substring-span
         # dedup (Lee et al. 2022) — full gram/island pipeline oracled
         "near_dedup_minhash_keep": q_near_dedup_minhash_keep,

@@ -156,12 +156,9 @@ def keyref_coverage(
     )
     if broadcast_pk:
         pk_keys = F.broadcast(pk_keys)
-    import functools
-    import operator
-
-    null_fk = functools.reduce(
-        operator.or_, [F.col(c).isNull() for c in fk_columns]
-    )
+    null_fk = F.col(fk_columns[0]).isNull()
+    for c in fk_columns[1:]:
+        null_fk = null_fk | F.col(c).isNull()
     joined = fk_df.join(pk_keys, on=fk_columns, how="left").select(
         *group_cols,
         null_fk.alias("__null_fk"),

@@ -197,7 +197,14 @@ def ngram_lm_score(
         raise ValueError(f"alpha must be > 0, got {alpha}")
     model = df if model_df is None else model_df
     mtext = text_col if model_text_col is None else model_text_col
-    mid = id_col if model_df is None else model.columns[0]
+    # the model side only feeds corpus-level aggregations, so its id column
+    # is irrelevant — use a constant placeholder rather than assuming any
+    # positional id column on a caller-supplied model_df
+    if model_df is not None:
+        model = model.select(F.lit(0).alias("__mid"), F.col(mtext))
+        mid = "__mid"
+    else:
+        mid = id_col
     mbg = _bigram_rows(model, mid, mtext)
     bigram_counts = mbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
     ctx_counts = mbg.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
