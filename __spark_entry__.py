@@ -1495,6 +1495,108 @@ def q_header_check_images(spark, sf_dir):
 _HDR_SHORT_HEX = "58504E47FF"
 _HDR_ALIEN_HEX = "47494638" + "00" * 8
 
+_AUDIO_FIXTURE = str(Path(__file__).resolve().parent / "fixtures" / "audio_rowrules.parquet")
+
+
+def q_wav_header_check_audio(spark, sf_dir):
+    """Zero-decode RIFF/WAVE container-header validation
+    (multimodal.wav_header_check) — the audio twin of
+    header_check_images: declared sample_rate/channels/bits/n_samples vs
+    the canonical 44-byte PCM header (RIFF+WAVE magic, fmt/data chunk
+    tags, the six little-endian fmt words, data-chunk size vs actual
+    payload length) as PURE Catalyst hex/conv expressions, whole-stage
+    codegen, no Python, no decode. Runs over the committed deterministic
+    fixture (real WAV bytes from the pure-Python encoder, nine injected
+    violation families); the oracle replays the hex arithmetic
+    byte-for-byte in DuckDB. Fixture pinned to the generator by
+    tests/test_containers.py::test_audio_fixture_matches_generator."""
+    df = spark.read.parquet(_AUDIO_FIXTURE)
+    return mm_ops.wav_header_check(df, part_col="part")
+
+
+def _wav_header_check_oracle() -> str:
+    """DuckDB replay of multimodal.wav_header_check: hex the blob once,
+    slice the chunk tags, rebuild each little-endian u16/u32 from its hex
+    pairs — the same generated-arithmetic style as
+    :func:`_header_check_oracle`."""
+
+    def le(off: int, nbytes: int) -> str:
+        terms = []
+        for i in range(nbytes):
+            p = (off - 1 + i) * 2
+            terms.append(
+                f"(((strpos('0123456789ABCDEF', substring(hx,{p + 1},1))-1)*16"
+                f" + (strpos('0123456789ABCDEF', substring(hx,{p + 2},1))-1))"
+                f" * {256 ** i})"
+            )
+        return " + ".join(terms)
+
+    def tag(off: int, hexlit: str) -> str:
+        return f"substring(hx, {(off - 1) * 2 + 1}, 8) = '{hexlit}'"
+
+    return f"""
+WITH e AS (
+  SELECT audio_id, sample_rate, channels, bits, n_samples, part,
+         octet_length(bytes) AS blen, hex(bytes) AS hx
+  FROM read_parquet('@FIXTURE@') WHERE bytes IS NOT NULL
+),
+f AS (
+  SELECT *,
+         ({tag(1, '52494646')}) AS riff_ok,
+         ({tag(9, '57415645')}) AS wave_ok,
+         ({tag(13, '666D7420')}) AS fmt_tag_ok,
+         {le(17, 4)} AS fmt_size,
+         {le(21, 2)} AS afmt,
+         {le(23, 2)} AS hch,
+         {le(25, 4)} AS hrate,
+         {le(33, 2)} AS balign,
+         {le(35, 2)} AS hbits,
+         ({tag(37, '64617461')}) AS data_tag_ok,
+         {le(41, 4)} AS dsize
+  FROM e
+),
+g AS (
+  SELECT *,
+         (blen >= 44 AND riff_ok AND wave_ok) AS magic_ok,
+         (blen >= 44 AND riff_ok AND wave_ok AND fmt_tag_ok
+          AND fmt_size = 16 AND data_tag_ok) AS canonical,
+         (blen >= 44 AND riff_ok AND wave_ok AND fmt_tag_ok
+          AND fmt_size = 16 AND data_tag_ok AND afmt = 1) AS pcm
+  FROM f
+),
+v AS (
+  SELECT part, 'wav_short' AS rule_id, audio_id AS row_id, 'bytes' AS col
+  FROM g WHERE blen < 44
+  UNION ALL
+  SELECT part, 'wav_magic', audio_id, 'bytes' FROM g
+   WHERE blen >= 44 AND NOT (riff_ok AND wave_ok)
+  UNION ALL
+  SELECT part, 'wav_layout', audio_id, 'bytes' FROM g
+   WHERE magic_ok AND NOT (fmt_tag_ok AND fmt_size = 16 AND data_tag_ok)
+  UNION ALL
+  SELECT part, 'wav_fmt_pcm', audio_id, 'bytes' FROM g
+   WHERE canonical AND afmt <> 1
+  UNION ALL
+  SELECT part, 'wav_rate_match', audio_id, 'sample_rate' FROM g
+   WHERE pcm AND sample_rate IS NOT NULL AND sample_rate <> hrate
+  UNION ALL
+  SELECT part, 'wav_channels_match', audio_id, 'channels' FROM g
+   WHERE pcm AND channels IS NOT NULL AND channels <> hch
+  UNION ALL
+  SELECT part, 'wav_bits_match', audio_id, 'bits' FROM g
+   WHERE pcm AND bits IS NOT NULL AND bits <> hbits
+  UNION ALL
+  SELECT part, 'wav_truncated', audio_id, 'bytes' FROM g
+   WHERE canonical AND blen <> dsize + 44
+  UNION ALL
+  SELECT part, 'wav_n_samples_match', audio_id, 'n_samples' FROM g
+   WHERE pcm AND n_samples IS NOT NULL AND balign > 0
+     AND dsize <> n_samples * balign
+)
+SELECT part AS partition_id, rule_id, row_id, col AS "column",
+       'error' AS severity FROM v
+"""
+
 
 def _header_check_oracle() -> str:
     """DuckDB replay of multimodal.header_check: hex the blob once, slice
@@ -2012,8 +2114,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # detection, hot-scope split path certified vs single-window oracle
         "volume_anomaly_events": q_volume_anomaly_events,  # NEW r04:
         # robust per-partition volume verdicts (median ± 3·MAD)
-        "freshness_events": q_freshness_events,  # NEW r04: per-partition
-        # ingest-liveness verdicts vs a pinned 'now'
         "snapshot_diff_orders": q_snapshot_diff_orders,  # NEW r04: key-level
         # added/removed/changed reconciliation between two snapshots
         "distinctness_events": q_distinctness_events,  # NEW r04: per-
@@ -2066,6 +2166,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # suite's SQL-expressible row-rule subset, full DuckDB oracle
         "header_check_images": q_header_check_images,  # NEW r04: zero-decode
         # container-header validation, pure Catalyst hex/conv, full oracle
+        "wav_header_check_audio": q_wav_header_check_audio,  # NEW r05:
+        # zero-decode RIFF/WAVE header validation over real WAV bytes from
+        # the pure-Python encoder (audio twin of header_check_images);
+        # displaces freshness_events (driver-r04 hash; freshness verdicts
+        # stay covered in-window by quality_suite_events) past the window
         "heavy_hitters_events": q_heavy_hitters_events,
         "domain_cap_docs": q_domain_cap_docs,
         "novel_docs_batch": q_novel_docs_batch,
@@ -2078,6 +2183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tier_events": q_asof_tier_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         # -- past the window: unchanged since their certifying round ------
+        "freshness_events": q_freshness_events,  # r04 (freshness family
+        # covered in-window by quality_suite_events, which computes the
+        # same verdicts in its one-pass suite; demoted r05 for
+        # wav_header_check_audio)
         "keyref_orphans": q_keyref_orphans,  # r03 (identity/keyref family
         # covered in-window by keyref_coverage_orders — the SAME left-anti
         # semantics rolled up — plus unique_dups_salted; demoted r04)
@@ -2458,6 +2567,9 @@ def oracle_sql() -> dict[str, str]:
     sql = _oracle_sql_literals()
     sql["image_suite_rowrules"] = _IMG_ROWRULES_ORACLE.replace("@FIXTURE@", _IMG_FIXTURE)
     sql["header_check_images"] = _header_check_oracle().replace("@FIXTURE@", _IMG_FIXTURE)
+    sql["wav_header_check_audio"] = _wav_header_check_oracle().replace(
+        "@FIXTURE@", _AUDIO_FIXTURE
+    )
     sql["fd_violations_lineitem"] = """
 SELECT l_orderkey,
        count(DISTINCT l_shipdate)::BIGINT AS n_values,

@@ -95,8 +95,11 @@ def test_certification_window_composition():
     assert "fd_violations_lineitem" in window
     assert "time_gaps_events" in window
     assert "volume_anomaly_events" in window
-    assert "freshness_events" in window
     assert "snapshot_diff_orders" in window
+    # round-5 additions (freshness_events demoted: its verdicts stay
+    # covered in-window by quality_suite_events)
+    assert "wav_header_check_audio" in window
+    assert "freshness_events" not in window
     assert "seq_regressions_events" in window
     assert "vector_checks_embeddings" in window
     assert "benford_orders" in window

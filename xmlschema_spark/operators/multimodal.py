@@ -17,8 +17,11 @@ the full row-rule pass).
 
 Real image libraries (PIL/libjpeg/ffmpeg) are not in this container; the
 codec in functions/codec.py provides real lossless/lossy semantics. The
-``extract_frames`` video path is a declared stub (NotImplementedError)
-with the Spark-side plumbing (schema, batching) in place.
+``extract_frames`` / ``audio_features`` codec hooks default to the
+pure-Python GIF87a/89a and RIFF/WAVE readers in functions/containers.py
+(sniffed by container magic), so both paths run end-to-end on real
+container bytes; other formats still need a caller-supplied ``decode_fn``
+(NotImplementedError names the contract).
 """
 
 from __future__ import annotations
@@ -31,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from xmlschema_spark.functions import codec
+from xmlschema_spark.functions import codec, containers
 from xmlschema_spark.rules import register_rule_kind
 
 DECODE_CHECK_SCHEMA = (
@@ -338,6 +341,196 @@ def _header_rule_reason(rule) -> str:
 register_rule_kind("header_consistent", _header_rule_ok, _header_rule_reason)
 
 
+def _le16(bytes_col, off: int):
+    """Little-endian u16 at 1-based byte offset ``off`` — same pure
+    Catalyst hex/conv construction as :func:`_le32`."""
+    h = F.hex(F.substring(bytes_col, off, 2))
+    return F.conv(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)), 16, 10).cast("long")
+
+
+# canonical-layout WAV field offsets (1-based, RIFF + 16-byte PCM fmt +
+# data header = 44 bytes; functions/containers.py encode_wav emits this)
+WAV_HEADER_LEN = 44
+_WAV_RIFF_HEX = "52494646"  # b"RIFF"
+_WAV_WAVE_HEX = "57415645"  # b"WAVE"
+_WAV_FMT_HEX = "666D7420"   # b"fmt "
+_WAV_DATA_HEX = "64617461"  # b"data"
+
+
+def _wav_fields(b) -> dict:
+    """Header fields of a canonical-layout PCM WAV as Catalyst columns —
+    the audio twin of :func:`header_fields`: magic flags plus the six
+    fmt-chunk words and the data-chunk size, all hex/conv whole-stage
+    codegen, zero Python, zero decode."""
+    return {
+        "riff_ok": F.hex(F.substring(b, 1, 4)) == F.lit(_WAV_RIFF_HEX),
+        "wave_ok": F.hex(F.substring(b, 9, 4)) == F.lit(_WAV_WAVE_HEX),
+        "fmt_tag_ok": F.hex(F.substring(b, 13, 4)) == F.lit(_WAV_FMT_HEX),
+        "fmt_size": _le32(b, 17),
+        "audio_format": _le16(b, 21),
+        "channels": _le16(b, 23),
+        "sample_rate": _le32(b, 25),
+        "byte_rate": _le32(b, 29),
+        "block_align": _le16(b, 33),
+        "bits": _le16(b, 35),
+        "data_tag_ok": F.hex(F.substring(b, 37, 4)) == F.lit(_WAV_DATA_HEX),
+        "data_size": _le32(b, 41),
+    }
+
+
+def wav_header_check(
+    df: DataFrame,
+    id_col: str = "audio_id",
+    part_col: str | None = None,
+) -> DataFrame:
+    """Violation rows for declared metadata vs the RIFF/WAVE container
+    header — the zero-decode row-rule family for audio payloads, the
+    twin of :func:`header_check`:
+
+    - ``wav_short``          — bytes non-null but < the 44-byte canonical header
+    - ``wav_magic``          — RIFF or WAVE magic missing (foreign container)
+    - ``wav_layout``         — magic ok but not the canonical layout
+      (``fmt `` not at 13 with size 16, or ``data`` not at 37 — real WAVs
+      with LIST/INFO chunks land here; the Python decoder still reads
+      them, this rule flags "not the canonical shape the fast path owns")
+    - ``wav_fmt_pcm``        — fmt chunk present but audio format != 1 (PCM)
+    - ``wav_rate_match`` / ``wav_channels_match`` / ``wav_bits_match`` —
+      declared ``sample_rate`` / ``channels`` / ``bits`` != header words
+    - ``wav_truncated``      — actual payload length != 44 + header data size
+    - ``wav_n_samples_match``— declared ``n_samples`` inconsistent with the
+      header data size (``data_size != n_samples * block_align``)
+
+    NULL semantics mirror :func:`header_check`: NULL bytes passes
+    (``not_null`` owns missingness), ``short`` owns truncation below the
+    header, ``magic`` owns foreign containers, ``layout`` owns
+    non-canonical shapes, and NULL declared metadata skips its
+    comparison. One pruned scan, one Generate, no shuffle, no Python —
+    the 10^12-row pre-flight before any Arrow decode pass."""
+    b = F.col("bytes")
+    hf = _wav_fields(b)
+    long_enough = b.isNotNull() & (F.octet_length(b) >= WAV_HEADER_LEN)
+    magic_ok = long_enough & hf["riff_ok"] & hf["wave_ok"]
+    canonical = (
+        magic_ok & hf["fmt_tag_ok"] & (hf["fmt_size"] == 16) & hf["data_tag_ok"]
+    )
+    pcm = canonical & (hf["audio_format"] == 1)
+
+    def _v(cond, rule: str, column: str):
+        return F.when(
+            cond,
+            F.struct(F.lit(rule).alias("rule_id"), F.lit(column).alias("column")),
+        )
+
+    viols = F.array(
+        _v(b.isNotNull() & (F.octet_length(b) < WAV_HEADER_LEN), "wav_short", "bytes"),
+        _v(long_enough & ~(hf["riff_ok"] & hf["wave_ok"]), "wav_magic", "bytes"),
+        _v(
+            magic_ok & ~(hf["fmt_tag_ok"] & (hf["fmt_size"] == 16) & hf["data_tag_ok"]),
+            "wav_layout", "bytes",
+        ),
+        _v(canonical & (hf["audio_format"] != 1), "wav_fmt_pcm", "bytes"),
+        _v(
+            pcm & F.col("sample_rate").isNotNull()
+            & (F.col("sample_rate").cast("long") != hf["sample_rate"]),
+            "wav_rate_match", "sample_rate",
+        ),
+        _v(
+            pcm & F.col("channels").isNotNull()
+            & (F.col("channels").cast("long") != hf["channels"]),
+            "wav_channels_match", "channels",
+        ),
+        _v(
+            pcm & F.col("bits").isNotNull()
+            & (F.col("bits").cast("long") != hf["bits"]),
+            "wav_bits_match", "bits",
+        ),
+        _v(
+            canonical
+            & (F.octet_length(b).cast("long") != hf["data_size"] + F.lit(WAV_HEADER_LEN)),
+            "wav_truncated", "bytes",
+        ),
+        _v(
+            pcm & F.col("n_samples").isNotNull() & (hf["block_align"] > 0)
+            & (hf["data_size"] != F.col("n_samples").cast("long") * hf["block_align"]),
+            "wav_n_samples_match", "n_samples",
+        ),
+    )
+    part = F.col(part_col) if part_col else F.lit("__table__")
+    return (
+        df.select(
+            part.alias("partition_id"),
+            F.col(id_col).alias("row_id"),
+            F.explode(F.filter(viols, lambda x: x.isNotNull())).alias("__v"),
+        )
+        .select(
+            "partition_id",
+            F.col("__v.rule_id").alias("rule_id"),
+            "row_id",
+            F.col("__v.column").alias("column"),
+            F.lit("error").alias("severity"),
+        )
+    )
+
+
+def _wav_rule_ok(rule):
+    """Compile fn for the registered ``wav_header_consistent`` rule kind
+    — True ⇔ the row passes. ``rule.column`` is the binary column
+    (default ``bytes``); ``params.check`` picks one aspect — ``short`` /
+    ``magic`` / ``layout`` / ``pcm`` / ``rate`` / ``channels`` / ``bits``
+    / ``truncated`` / ``n_samples`` — or ``all`` (default). Declared
+    metadata columns rename via ``params.rate_col/channels_col/bits_col/
+    n_samples_col``. NULL semantics as in :func:`wav_header_check`."""
+    b = F.col(rule.column or "bytes")
+    hf = _wav_fields(b)
+    p = rule.params or {}
+    rate_col = F.col(p.get("rate_col", "sample_rate"))
+    channels_col = F.col(p.get("channels_col", "channels"))
+    bits_col = F.col(p.get("bits_col", "bits"))
+    n_samples_col = F.col(p.get("n_samples_col", "n_samples"))
+    too_short = F.octet_length(b) < WAV_HEADER_LEN
+    bad_magic = ~(hf["riff_ok"] & hf["wave_ok"])
+    bad_layout = ~(hf["fmt_tag_ok"] & (hf["fmt_size"] == 16) & hf["data_tag_ok"])
+    skip_canon = b.isNull() | too_short | bad_magic | bad_layout
+    skip_pcm = skip_canon | (hf["audio_format"] != 1)
+    oks = {
+        "short": b.isNull() | ~too_short,
+        "magic": b.isNull() | too_short | ~bad_magic,
+        "layout": b.isNull() | too_short | bad_magic | ~bad_layout,
+        "pcm": skip_canon | (hf["audio_format"] == 1),
+        "rate": skip_pcm | rate_col.isNull() | (rate_col.cast("long") == hf["sample_rate"]),
+        "channels": skip_pcm | channels_col.isNull()
+        | (channels_col.cast("long") == hf["channels"]),
+        "bits": skip_pcm | bits_col.isNull() | (bits_col.cast("long") == hf["bits"]),
+        "truncated": skip_canon
+        | (F.octet_length(b).cast("long") == hf["data_size"] + F.lit(WAV_HEADER_LEN)),
+        "n_samples": skip_pcm | n_samples_col.isNull() | (hf["block_align"] <= 0)
+        | (hf["data_size"] == n_samples_col.cast("long") * hf["block_align"]),
+    }
+    check = p.get("check", "all")
+    if check == "all":
+        ok = oks["short"]
+        for k in ("magic", "layout", "pcm", "rate", "channels", "bits",
+                  "truncated", "n_samples"):
+            ok = ok & oks[k]
+        return ok
+    if check not in oks:
+        from xmlschema_spark.rules import RuleCompileError
+
+        raise RuleCompileError(
+            f"{rule.rule_id}: wav_header_consistent check must be one of "
+            f"{sorted(oks)} or 'all', got {check!r}"
+        )
+    return oks[check]
+
+
+def _wav_rule_reason(rule) -> str:
+    check = (rule.params or {}).get("check", "all")
+    return f"RIFF/WAVE header inconsistent with declared metadata (check={check})"
+
+
+register_rule_kind("wav_header_consistent", _wav_rule_ok, _wav_rule_reason)
+
+
 def regex_check(df: DataFrame, column: str, pattern: str, id_col: str) -> DataFrame:
     """Fallback for XSD patterns the Java-regex translator can't express:
     anchored Python ``re`` applied per Arrow batch via a vectorized pandas
@@ -434,6 +627,40 @@ def extract_features(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     return df.select(id_col, "bytes").mapInPandas(batches, schema=schema)
 
 
+def default_video_decode(data):
+    """Default ``extract_frames`` codec hook: sniff the container magic.
+    GIF87a/GIF89a payloads decode through the pure-Python LZW reader
+    (functions/containers.py); each frame is re-encoded as a lossless
+    BMP payload of the engine codec, so every downstream image operator
+    (decode_check, extract_features, resize) consumes frames directly.
+    Corrupt GIFs raise ValueError (row dropped, the coverage-check
+    signal); containers this build has no codec for raise
+    NotImplementedError naming the ``decode_fn`` contract (loud, not a
+    silent drop)."""
+    head = bytes(data[:6]) if data is not None else b""
+    if head in (b"GIF87a", b"GIF89a"):
+        return [codec.encode_image(f, "bmp") for f in containers.decode_gif(data)]
+    raise NotImplementedError(
+        f"no built-in codec for container magic {head[:4]!r}: pass "
+        "decode_fn=(bytes -> iterable of frame bytes), e.g. a PyAV wrapper"
+    )
+
+
+def default_audio_decode(data):
+    """Default ``audio_features`` codec hook: RIFF/WAVE PCM decodes via
+    the pure-Python chunk-walk parser (functions/containers.py) to
+    (mono float64 samples, rate); corrupt WAVs raise ValueError
+    (``decode_ok=false`` row); other containers raise
+    NotImplementedError naming the ``decode_fn`` contract."""
+    head = bytes(data[:4]) if data is not None else b""
+    if head == b"RIFF" and bytes(data[8:12]) == b"WAVE":
+        return containers.decode_wav(data)
+    raise NotImplementedError(
+        f"no built-in codec for container magic {head!r}: pass "
+        "decode_fn=(bytes -> (mono float ndarray, sample_rate))"
+    )
+
+
 def extract_frames(
     df: DataFrame,
     every_n: int = 30,
@@ -453,10 +680,11 @@ def extract_frames(
     distinct ids in vs out) surface the drops, matching the
     decode-verdict pattern of the image suite.
 
-    With ``decode_fn=None`` (this sandbox has no video codec) the
-    operator is a declared stub: the plan builds — schema, Arrow batch
-    shape, and partitioning are real — but the UDF body raises
-    ``NotImplementedError`` on its first non-empty batch.
+    ``decode_fn=None`` uses :func:`default_video_decode`: GIF87a/89a
+    payloads decode end-to-end via the pure-Python LZW reader, each
+    frame re-encoded as a lossless BMP of the engine codec; containers
+    with no built-in codec raise ``NotImplementedError`` naming the
+    contract.
 
     Scale shape: ``mapInPandas`` over only (id, bytes) — column-pruned
     scan, one Arrow crossing per video, one output DataFrame per input
@@ -465,16 +693,13 @@ def extract_frames(
     """
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
+    if decode_fn is None:
+        decode_fn = default_video_decode
     schema = f"{id_col} string, frame_idx int, bytes binary"
     cols = [id_col, "frame_idx", "bytes"]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if decode_fn is None:
-                raise NotImplementedError(
-                    "video decode requires a codec: pass decode_fn="
-                    "(bytes -> iterable of frame bytes), e.g. a PyAV wrapper"
-                )
             for row in pdf.itertuples(index=False):
                 rid = getattr(row, id_col)
                 try:
@@ -508,10 +733,13 @@ def audio_features(
     zeroed features, so the operator is row-preserving and feeds the
     same verdict machinery as the image suite.
 
-    With ``decode_fn=None`` the UDF body raises ``NotImplementedError``
-    on the first non-empty batch (no audio codec in this sandbox); the
-    Spark-side plumbing is real and unit-tested with a fake codec.
+    ``decode_fn=None`` uses :func:`default_audio_decode`: RIFF/WAVE PCM
+    decodes end-to-end via the pure-Python chunk-walk parser; containers
+    with no built-in codec raise ``NotImplementedError`` naming the
+    contract.
     """
+    if decode_fn is None:
+        decode_fn = default_audio_decode
     schema = (
         f"{id_col} string, duration_s double, rms double, peak double, "
         "zero_cross_rate double, decode_ok boolean"
@@ -520,11 +748,6 @@ def audio_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if decode_fn is None:
-                raise NotImplementedError(
-                    "audio decode requires a codec: pass decode_fn="
-                    "(bytes -> (mono float ndarray, sample_rate))"
-                )
             rows = []
             for row in pdf.itertuples(index=False):
                 rid = getattr(row, id_col)
