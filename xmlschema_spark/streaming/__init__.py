@@ -16,3 +16,7 @@ from xmlschema_spark.streaming.stats import (  # noqa: F401
 )
 from xmlschema_spark.streaming.sessions import session_stats_stream  # noqa: F401
 from xmlschema_spark.streaming.quality import quality_monitor_stream  # noqa: F401
+from xmlschema_spark.streaming.identity import (  # noqa: F401
+    duplicate_keys_stream,
+    keyref_orphans_foreach_batch,
+)
