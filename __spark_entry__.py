@@ -768,6 +768,76 @@ def q_lang_pred_counts(spark, sf_dir):
     )
 
 
+def q_lang_trigram_docs(spark, sf_dir):
+    """Char-trigram language ID (text.detect_language_trigram) — the
+    production lang-ID path: a broadcast per-language integer trigram
+    profile (multinomial NB quantized at scale=1000, the lm_score model
+    join shape) scored fully JVM-side, CJK script fast path, ties to the
+    smallest code. Integer scores ⇒ the oracle replays the entire
+    arithmetic (normalization, trigram explode, profile join, argmax)
+    hash-exactly."""
+    df = _t(spark, sf_dir, "documents")
+    return text_ops.detect_language_trigram(df, "text", "doc_id")
+
+
+def _lang_trigram_oracle() -> str:
+    """DuckDB replay of detect_language_trigram: the SAME profile
+    literals (generated by build_trigram_profiles, embedded as VALUES),
+    the same normalization regex, a generate_series trigram explode and
+    the same integer NB scoring + row_number argmax."""
+    bases, weights = text_ops.build_trigram_profiles()
+    wvals = ",\n    ".join(
+        f"('{lang}', '{tri}', {bonus})" for lang, tri, bonus in weights
+    )
+    lvals = ", ".join(f"('{lang}', {base})" for lang, base in sorted(bases.items()))
+    return f"""
+WITH w(lang, tri, bonus) AS (VALUES
+    {wvals}),
+l(lang, base) AS (VALUES {lvals}),
+b AS (
+  SELECT doc_id, text IS NULL AS tnull,
+         COALESCE(regexp_matches(text, '[一-鿿]'), FALSE) AS cjk,
+         CASE WHEN trim(regexp_replace(lower(text), '[^\\p{{L}}]+', ' ', 'g')) = ''
+              THEN ''
+              ELSE ' ' || trim(regexp_replace(lower(text), '[^\\p{{L}}]+', ' ', 'g')) || ' '
+         END AS norm
+  FROM documents
+),
+bb AS (SELECT *, greatest(length(norm) - 2, 0)::BIGINT AS ntri FROM b),
+elig AS (SELECT doc_id, norm, ntri FROM bb WHERE NOT tnull AND NOT cjk AND ntri > 0),
+tris AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, ntri::INT),
+                               i -> substring(norm, i, 3))) AS tri
+  FROM elig
+),
+hits AS (
+  SELECT doc_id, lang, sum(bonus)::BIGINT AS s
+  FROM tris JOIN w USING (tri) GROUP BY doc_id, lang
+),
+grid AS (
+  SELECT e.doc_id, l.lang, e.ntri,
+         e.ntri * l.base + COALESCE(h.s, 0) AS score
+  FROM elig e CROSS JOIN l
+  LEFT JOIN hits h ON h.doc_id = e.doc_id AND h.lang = l.lang
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM grid
+)
+SELECT bb.doc_id,
+       CASE WHEN bb.tnull THEN NULL
+            WHEN bb.cjk THEN 'zh'
+            WHEN bb.ntri = 0 THEN 'und'
+            ELSE p.lang END AS lang_pred,
+       bb.ntri AS n_trigrams,
+       CASE WHEN NOT bb.tnull AND NOT bb.cjk AND bb.ntri > 0 THEN p.score END AS score
+FROM bb LEFT JOIN (SELECT doc_id, lang, score FROM best WHERE rn = 1) p
+  ON p.doc_id = bb.doc_id
+"""
+
+
 def q_quality_docs(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     q = text_ops.quality_score(df, "text", "doc_id")
@@ -2133,6 +2203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_docs": q_entropy_docs,  # NEW r04: token-distribution
         # entropy (gibberish detector); displaces jaccard_pairs_docs
         # (driver-r02 hash) past the window
+        "lang_trigram_docs": q_lang_trigram_docs,  # NEW r05: char-trigram
+        # language ID — broadcast integer NB profile scored JVM-side, the
+        # production replacement for the stopword heuristic; displaces
+        # completeness_events (driver-r04 hash; completeness verdicts stay
+        # covered in-window by quality_suite_events) past the window
         "dup_spans_docs": q_dup_spans_docs,  # NEW r04: substring-span
         # dedup (Lee et al. 2022) — full gram/island pipeline oracled
         "near_dedup_minhash_keep": q_near_dedup_minhash_keep,
@@ -2151,8 +2226,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vector-typed facet pass (null/dim/NaN/Inf/zero/range), pure HOF
         # general aggregation / join
         "pricing_summary": q_pricing_summary,
-        "completeness_events": q_completeness_events,  # NEW r04: per-
-        # partition null-rate verdicts (Deequ-style completeness)
         # curation / temporal (round-3 additions, first driver window)
         "hash_sample_docs": q_hash_sample_docs,
         "pii_docs": q_pii_docs,
@@ -2183,6 +2256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tier_events": q_asof_tier_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         # -- past the window: unchanged since their certifying round ------
+        "completeness_events": q_completeness_events,  # r04 (completeness
+        # family covered in-window by quality_suite_events' one-pass suite;
+        # demoted r05 for lang_trigram_docs)
         "freshness_events": q_freshness_events,  # r04 (freshness family
         # covered in-window by quality_suite_events, which computes the
         # same verdicts in its one-pass suite; demoted r05 for
@@ -2570,6 +2646,7 @@ def oracle_sql() -> dict[str, str]:
     sql["wav_header_check_audio"] = _wav_header_check_oracle().replace(
         "@FIXTURE@", _AUDIO_FIXTURE
     )
+    sql["lang_trigram_docs"] = _lang_trigram_oracle()
     sql["fd_violations_lineitem"] = """
 SELECT l_orderkey,
        count(DISTINCT l_shipdate)::BIGINT AS n_values,

@@ -96,14 +96,15 @@ def test_certification_window_composition():
     assert "time_gaps_events" in window
     assert "volume_anomaly_events" in window
     assert "snapshot_diff_orders" in window
-    # round-5 additions (freshness_events demoted: its verdicts stay
-    # covered in-window by quality_suite_events)
+    # round-5 additions (freshness_events / completeness_events demoted:
+    # their verdicts stay covered in-window by quality_suite_events)
     assert "wav_header_check_audio" in window
+    assert "lang_trigram_docs" in window
     assert "freshness_events" not in window
+    assert "completeness_events" not in window
     assert "seq_regressions_events" in window
     assert "vector_checks_embeddings" in window
     assert "benford_orders" in window
-    assert "completeness_events" in window
     assert "distinctness_events" in window
     assert "corr_drift_lineitem" in window
     assert "quality_suite_events" in window

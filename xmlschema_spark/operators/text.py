@@ -67,6 +67,243 @@ def detect_language(col) -> Column:
     )
 
 
+# --------------------------------------------------------------------------
+# char-trigram language ID (the production path; detect_language above is
+# the cheap stopword heuristic kept for single-expression use in rules)
+# --------------------------------------------------------------------------
+
+# Seed samples for the trigram profiles: short original paragraphs of
+# ordinary prose per language, written for this module (function words
+# carry the trigram signal, so generic text is exactly what the profile
+# needs). ~100 words each so the per-language trigram totals are
+# comparable.
+_LANG_SAMPLES = {
+    "en": (
+        "the house stands at the end of the road and the garden behind it "
+        "was full of flowers in the summer when the children were young "
+        "they would play there for hours and their mother would call them "
+        "in for dinner when the light began to fade it was a quiet place "
+        "and the people who lived there knew each other well in the "
+        "morning the baker opened his shop and the smell of fresh bread "
+        "drifted through the streets everyone agreed that it was a good "
+        "place to live and that the years had been kind to them all"
+    ),
+    "de": (
+        "das haus steht am ende der strasse und der garten dahinter war im "
+        "sommer voller blumen als die kinder klein waren spielten sie dort "
+        "stundenlang und ihre mutter rief sie zum abendessen wenn das licht "
+        "schwand es war ein ruhiger ort und die menschen die dort wohnten "
+        "kannten einander gut am morgen öffnete der bäcker seinen laden und "
+        "der duft von frischem brot zog durch die gassen alle waren sich "
+        "einig dass es ein guter ort zum leben war und dass die jahre gut "
+        "zu ihnen gewesen waren"
+    ),
+    "fr": (
+        "la maison se trouve au bout de la rue et le jardin derrière elle "
+        "était plein de fleurs en été quand les enfants étaient petits ils "
+        "y jouaient pendant des heures et leur mère les appelait pour le "
+        "dîner quand la lumière commençait à baisser c était un endroit "
+        "calme et les gens qui y vivaient se connaissaient bien le matin "
+        "le boulanger ouvrait sa boutique et l odeur du pain frais "
+        "flottait dans les rues tout le monde disait que c était un bon "
+        "endroit pour vivre et que les années avaient été douces"
+    ),
+    "es": (
+        "la casa está al final de la calle y el jardín detrás de ella "
+        "estaba lleno de flores en verano cuando los niños eran pequeños "
+        "jugaban allí durante horas y su madre los llamaba para cenar "
+        "cuando la luz empezaba a caer era un lugar tranquilo y la gente "
+        "que vivía allí se conocía bien por la mañana el panadero abría "
+        "su tienda y el olor del pan fresco llenaba las calles todos "
+        "decían que era un buen lugar para vivir y que los años habían "
+        "sido amables con ellos"
+    ),
+    "it": (
+        "la casa si trova alla fine della strada e il giardino dietro di "
+        "essa era pieno di fiori in estate quando i bambini erano piccoli "
+        "giocavano lì per ore e la loro madre li chiamava per la cena "
+        "quando la luce cominciava a calare era un posto tranquillo e le "
+        "persone che ci vivevano si conoscevano bene la mattina il "
+        "fornaio apriva il suo negozio e il profumo del pane fresco "
+        "riempiva le vie tutti dicevano che era un buon posto dove vivere "
+        "e che gli anni erano stati gentili"
+    ),
+    "pt": (
+        "a casa fica no fim da rua e o jardim atrás dela estava cheio de "
+        "flores no verão quando as crianças eram pequenas brincavam ali "
+        "durante horas e a mãe delas as chamava para o jantar quando a "
+        "luz começava a cair era um lugar tranquilo e as pessoas que "
+        "viviam ali conheciam se bem de manhã o padeiro abria a sua loja "
+        "e o cheiro do pão fresco enchia as ruas todos diziam que era um "
+        "bom lugar para viver e que os anos tinham sido bons para eles"
+    ),
+}
+
+_CJK_RANGE = "[一-鿿]"
+
+
+def _normalize_trigram_py(s: str) -> str:
+    """Python mirror of the engines' normalization: lowercase, every
+    non-letter run → one space, trimmed, space-padded. Only used to BUILD
+    the profile literals — scoring normalization runs in Spark/DuckDB."""
+    import re as _re
+
+    out = "".join(ch if ch.isalpha() else " " for ch in s.lower())
+    out = _re.sub(r"\s+", " ", out).strip()
+    return f" {out} " if out else ""
+
+
+def build_trigram_profiles(
+    top_k: int = 200, alpha: float = 0.5, scale: int = 1000,
+) -> tuple[dict[str, int], list[tuple[str, str, int]]]:
+    """Deterministic integer trigram profiles from the embedded samples.
+
+    Per language: add-α trigram log-probs over the sample,
+    ``logp(t) = ln((c(t)+α)/(N+α·V))`` with V = the cross-language
+    distinct-trigram vocabulary, quantized to integers at ``scale`` so
+    downstream scoring is EXACT in any engine:
+
+    - ``bases[lang]``   = round(scale·floor) where floor = unseen-trigram logp
+    - ``weights``       = (lang, trigram, bonus) for the ``top_k`` trigrams
+      by count (ties lexicographic), bonus = round(scale·logp) − base ≥ 0
+
+    A document's score under ``lang`` is then
+    ``n_trigrams·base + Σ_hits bonus`` — integer multinomial NB with the
+    same smoothing family as :func:`ngram_lm_score`."""
+    from collections import Counter
+    from math import log
+
+    counts = {}
+    for lang, sample in _LANG_SAMPLES.items():
+        norm = _normalize_trigram_py(sample)
+        counts[lang] = Counter(norm[i: i + 3] for i in range(len(norm) - 2))
+    vocab = len({t for c in counts.values() for t in c})
+    bases: dict[str, int] = {}
+    weights: list[tuple[str, str, int]] = []
+    for lang in sorted(counts):
+        c = counts[lang]
+        n = sum(c.values())
+        denom = n + alpha * vocab
+        base = round(scale * log(alpha / denom))
+        bases[lang] = base
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        for tri, cnt in top:
+            weights.append((lang, tri, round(scale * log((cnt + alpha) / denom)) - base))
+    return bases, weights
+
+
+def _trigram_norm_col(col) -> Column:
+    """The engines' normalization as a Catalyst expression (mirrored
+    verbatim by the DuckDB oracle): lowercase, non-letter runs → one
+    space, trim, pad with one space each side; empty → empty."""
+    squeezed = F.trim(F.regexp_replace(F.lower(col), r"[^\p{L}]+", " "))
+    return F.when(squeezed == "", F.lit("")).otherwise(
+        F.concat(F.lit(" "), squeezed, F.lit(" "))
+    )
+
+
+def detect_language_trigram(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_k: int = 200,
+    alpha: float = 0.5,
+    scale: int = 1000,
+) -> DataFrame:
+    """Char-trigram language identification — the production path that
+    replaces the stopword heuristic (:func:`detect_language`): a
+    broadcast per-language trigram-profile dim table scored JVM-side,
+    the same pre-aggregated-model join shape as :func:`ngram_lm_score`.
+
+    Output: one row per input doc — id, ``lang_pred``, ``n_trigrams``,
+    ``score`` (the winning language's integer NB score; NULL for docs
+    with no trigrams or the CJK fast path). Decision rule: CJK
+    codepoints → ``zh`` (script range beats any trigram evidence); no
+    trigrams → ``und``; NULL text → NULL; else argmax over the profile
+    languages, ties to the lexicographically smallest code — fully
+    deterministic, integer-exact, oracle-replayable.
+
+    Plan at 10^12 docs: normalization + trigram explode is one codegen
+    projection + Generate (linear in corpus chars); the profile join is
+    a ~len(langs)·top_k-row BROADCAST dim; per-(doc, lang) aggregation
+    has map-side partials; the final argmax is a row_number window over
+    n_langs rows per doc. No driver data beyond the profile literals, no
+    UDFs anywhere."""
+    bases, weights = build_trigram_profiles(top_k=top_k, alpha=alpha, scale=scale)
+    spark = df.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame(weights, "lang string, tri string, bonus long")
+    )
+    ldf = F.broadcast(
+        spark.createDataFrame(sorted(bases.items()), "lang string, base long")
+    )
+
+    c = F.col(text_col)
+    norm = _trigram_norm_col(c)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        c.isNull().alias("__isnull"),
+        c.rlike(_CJK_RANGE).alias("__cjk"),
+        norm.alias("__norm"),
+    ).withColumn(
+        "__ntri",
+        F.greatest(F.length("__norm") - 2, F.lit(0)).cast("long"),
+    )
+    elig = base.filter(~F.col("__isnull") & ~F.col("__cjk") & (F.col("__ntri") > 0))
+
+    tris = elig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__ntri").cast("int")),
+                lambda i: F.col("__norm").substr(i, F.lit(3)),
+            )
+        ).alias("tri"),
+    )
+    hits = (
+        tris.join(wdf, "tri")
+        .groupBy("__id", "lang")
+        .agg(F.sum("bonus").alias("__s"))
+    )
+    grid = (
+        elig.select("__id", "__ntri")
+        .crossJoin(ldf)
+        .join(hits, ["__id", "lang"], "left")
+        .select(
+            "__id",
+            "lang",
+            "__ntri",
+            (F.col("__ntri") * F.col("base") + F.coalesce(F.col("__s"), F.lit(0))).alias(
+                "score"
+            ),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("__id").orderBy(F.desc("score"), F.asc("lang"))
+    best = (
+        grid.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__id", F.col("lang").alias("lang_pred"), "score")
+    )
+    return (
+        base.join(best, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.when(F.col("__isnull"), F.lit(None).cast("string"))
+            .when(F.col("__cjk"), F.lit("zh"))
+            .when(F.col("__ntri") == 0, F.lit("und"))
+            .otherwise(F.col("lang_pred"))
+            .alias("lang_pred"),
+            F.col("__ntri").alias("n_trigrams"),
+            F.when(
+                ~F.col("__isnull") & ~F.col("__cjk") & (F.col("__ntri") > 0),
+                F.col("score"),
+            ).alias("score"),
+        )
+    )
+
+
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-doc quality signals: lengths, token stats, punctuation/digit/
     uppercase ratios, mean word length, stopword ratio (en)."""
