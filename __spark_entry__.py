@@ -1988,6 +1988,23 @@ def q_lm_score_docs(spark, sf_dir):
     )
 
 
+def q_lm3_score_docs(spark, sf_dir):
+    """Interpolated trigram LM scoring (text.ngram_lm3_score): λ-mixed
+    add-0.5 trigram/bigram/unigram estimates (Jelinek-Mercer, λ =
+    0.5/0.3/0.2) fit on the corpus itself — the higher-order option over
+    lm_score_docs, whose bigram path is unchanged. All four model tables
+    are vocabulary-bounded pre-aggregations from one tokenization; the
+    oracle replays the full mixture arithmetic term-for-term."""
+    df = _t(spark, sf_dir, "documents", parallel=False)
+    out = text_ops.ngram_lm3_score(df, "doc_id", "text", alpha=0.5)
+    return out.select(
+        "doc_id",
+        "n_trigrams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("ppl", 4).alias("ppl"),
+    )
+
+
 def q_keyref_coverage_orders(spark, sf_dir):
     """Per-partition referential-coverage verdicts (identity.
     keyref_coverage): orders→customer keyref rolled up per order
@@ -2200,6 +2217,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_docs": q_lm_score_docs,  # NEW r04: bigram LM quality
         # scoring (CCNet perplexity-filter shape), full arithmetic oracle;
         # displaces doc_rule_counts (driver-r03 hash) past the window
+        "lm3_score_docs": q_lm3_score_docs,  # NEW r05: interpolated
+        # trigram LM (Jelinek-Mercer λ-mix over add-α tri/bi/unigram
+        # estimates), full mixture arithmetic oracled; displaces
+        # near_dedup_keep_docs (driver-r04 hash; the keep stage stays
+        # covered in-window by near_dedup_minhash_keep's end-to-end
+        # pipeline + dedup_clusters_docs) past the window
         "entropy_docs": q_entropy_docs,  # NEW r04: token-distribution
         # entropy (gibberish detector); displaces jaccard_pairs_docs
         # (driver-r02 hash) past the window
@@ -2213,7 +2236,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_minhash_keep": q_near_dedup_minhash_keep,
         "simhash_md5_dups_docs": q_simhash_md5_dups_docs,
         "dedup_clusters_docs": q_dedup_clusters_docs,
-        "near_dedup_keep_docs": q_near_dedup_keep_docs,
         # similarity / embeddings
         "paired_alignment_embeddings": q_paired_alignment_embeddings,  # NEW
         # r04: cross-modal pair-alignment validation (image ↔ caption
@@ -2256,6 +2278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tier_events": q_asof_tier_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         # -- past the window: unchanged since their certifying round ------
+        "near_dedup_keep_docs": q_near_dedup_keep_docs,  # r04 (the
+        # near-dup keep stage stays covered in-window by
+        # near_dedup_minhash_keep's end-to-end pipeline and
+        # dedup_clusters_docs over the same candidate pairs; demoted r05
+        # for lm3_score_docs)
         "completeness_events": q_completeness_events,  # r04 (completeness
         # family covered in-window by quality_suite_events' one-pass suite;
         # demoted r05 for lang_trigram_docs)
@@ -2919,6 +2946,54 @@ pd AS (
 )
 SELECT d.doc_id,
        coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(pd.avg_logp, 6) AS avg_logp,
+       round(exp(-pd.avg_logp), 4) AS ppl
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+"""
+    sql["lm3_score_docs"] = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}'']+'),
+                x -> length(x) > 0) AS t
+  FROM documents
+),
+tg0 AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(t) - 2),
+                          i -> {'w1': t[i], 'w2': t[i + 1], 'w3': t[i + 2]})) AS p
+  FROM toks
+),
+tg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3 FROM tg0),
+bg0 AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(t) - 1),
+                          i -> {'w1': t[i], 'w2': t[i + 1]})) AS p
+  FROM toks
+),
+bg AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bg0),
+tok AS (SELECT unnest(t) AS w FROM toks),
+c123 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c FROM tg GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS n, count(DISTINCT w)::BIGINT AS v FROM tok),
+sc AS (
+  SELECT g.doc_id,
+         ln(0.5 * ((coalesce(c123.c, 0) + 0.5) / (coalesce(a12.c, 0) + 0.5 * t.v))
+            + 0.3 * ((coalesce(a23.c, 0) + 0.5) / (coalesce(u2.c, 0) + 0.5 * t.v))
+            + 0.2 * ((coalesce(u3.c, 0) + 0.5) / (t.n + 0.5 * t.v))) AS logp
+  FROM tg g
+  LEFT JOIN c123 ON c123.w1 = g.w1 AND c123.w2 = g.w2 AND c123.w3 = g.w3
+  LEFT JOIN c12 a12 ON a12.w1 = g.w1 AND a12.w2 = g.w2
+  LEFT JOIN c12 a23 ON a23.w1 = g.w2 AND a23.w2 = g.w3
+  LEFT JOIN c1 u2 ON u2.w = g.w2
+  LEFT JOIN c1 u3 ON u3.w = g.w3, tot t
+),
+pd AS (
+  SELECT doc_id, count(*)::BIGINT AS n_trigrams, avg(logp) AS avg_logp
+  FROM sc GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(pd.n_trigrams, 0)::BIGINT AS n_trigrams,
        round(pd.avg_logp, 6) AS avg_logp,
        round(exp(-pd.avg_logp), 4) AS ppl
 FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id

@@ -100,8 +100,10 @@ def test_certification_window_composition():
     # their verdicts stay covered in-window by quality_suite_events)
     assert "wav_header_check_audio" in window
     assert "lang_trigram_docs" in window
+    assert "lm3_score_docs" in window
     assert "freshness_events" not in window
     assert "completeness_events" not in window
+    assert "near_dedup_keep_docs" not in window
     assert "seq_regressions_events" in window
     assert "vector_checks_embeddings" in window
     assert "benford_orders" in window

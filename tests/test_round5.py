@@ -1,5 +1,9 @@
 """Round-5 additions: char-trigram language ID (profiles, scoring,
-decision rule, accuracy on a labeled multi-language fixture)."""
+decision rule, accuracy on a labeled multi-language fixture) and the
+interpolated trigram LM."""
+
+import math
+import re
 
 import pytest
 
@@ -89,6 +93,120 @@ def test_trigram_langid_tie_is_deterministic(spark):
     # expected winner: max n*base, tie -> smallest lang code
     want = min(sorted(bases), key=lambda lang: (-n * bases[lang], lang))
     assert r.lang_pred == want and r.score == n * bases[want]
+
+
+# --------------------------------------------------------------------------
+# interpolated trigram LM
+# --------------------------------------------------------------------------
+
+def _toks(s):
+    return [t for t in re.split(r"[^\w']+", s.lower()) if t]
+
+
+def _py_lm3_scores(docs, alpha=0.5, lambdas=(0.5, 0.3, 0.2)):
+    """Independent plain-Python replay of ngram_lm3_score (model = the
+    scored corpus itself)."""
+    from collections import Counter
+
+    toks = {d: _toks(t) for d, t in docs}
+    c123, c12, c1 = Counter(), Counter(), Counter()
+    n = 0
+    for t in toks.values():
+        n += len(t)
+        c1.update(t)
+        c12.update(zip(t, t[1:]))
+        c123.update(zip(t, t[1:], t[2:]))
+    v = len(c1)
+    l3, l2, l1 = lambdas
+    out = {}
+    for d, t in toks.items():
+        trips = list(zip(t, t[1:], t[2:]))
+        if not trips:
+            out[d] = (0, None)
+            continue
+        lps = []
+        for w1, w2, w3 in trips:
+            p3 = (c123[(w1, w2, w3)] + alpha) / (c12[(w1, w2)] + alpha * v)
+            p2 = (c12[(w2, w3)] + alpha) / (c1[w2] + alpha * v)
+            p1 = (c1[w3] + alpha) / (n + alpha * v)
+            lps.append(math.log(l3 * p3 + l2 * p2 + l1 * p1))
+        out[d] = (len(lps), sum(lps) / len(lps))
+    return out
+
+
+LM3_DOCS = [
+    (1, "the cat sat on the mat and the cat slept"),
+    (2, "the dog sat on the mat and the dog slept"),
+    (3, "zq xv qp zz xq"),            # all-unseen trigrams (floor mixture)
+    (4, "the cat sat on the mat and the cat slept"),  # duplicate of 1
+    (5, "two words"),                  # < 3 tokens -> no trigrams
+    (6, "one"),
+]
+
+
+def test_lm3_matches_python_replay(spark):
+    df = spark.createDataFrame(LM3_DOCS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_trigrams, r.avg_logp)
+        for r in T.ngram_lm3_score(df, "doc_id", "text").collect()
+    }
+    want = _py_lm3_scores(LM3_DOCS)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        if want[d][1] is None:
+            assert got[d][1] is None
+        else:
+            assert got[d][1] == pytest.approx(want[d][1], rel=1e-9), d
+
+
+def test_lm3_orders_quality_sensibly(spark):
+    """Identical docs score identically; the all-unseen gibberish doc
+    lands strictly below the natural docs; ppl = exp(-avg_logp)."""
+    df = spark.createDataFrame(LM3_DOCS, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.ngram_lm3_score(df, "doc_id", "text").collect()}
+    assert got[1].avg_logp == got[4].avg_logp
+    assert got[3].avg_logp < got[1].avg_logp
+    assert got[3].avg_logp < got[2].avg_logp
+    assert got[1].ppl == pytest.approx(math.exp(-got[1].avg_logp))
+    assert got[5].n_trigrams == 0 and got[5].avg_logp is None and got[5].ppl is None
+
+
+def test_lm3_separate_model_corpus(spark):
+    """model_df path: scores depend on the MODEL corpus, not the scored
+    docs; column names on the model side are irrelevant (placeholder id)."""
+    model = [(f"m{i}", "the cat sat on the mat " * 3) for i in range(4)]
+    docs = [(1, "the cat sat on the mat"), (2, "mat the on sat cat the")]
+    mdf = spark.createDataFrame(model, "mid string, body string")
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.avg_logp
+        for r in T.ngram_lm3_score(
+            ddf, "doc_id", "text", model_df=mdf, model_text_col="body"
+        ).collect()
+    }
+    # doc 1 matches the model phrasing; doc 2 is its shuffle -> lower
+    assert got[1] > got[2]
+
+
+def test_lm3_param_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="alpha"):
+        T.ngram_lm3_score(df, "doc_id", "text", alpha=0.0)
+    with pytest.raises(ValueError, match="lambdas"):
+        T.ngram_lm3_score(df, "doc_id", "text", lambdas=(0.5, 0.5, 0.5))
+    with pytest.raises(ValueError, match="lambdas"):
+        T.ngram_lm3_score(df, "doc_id", "text", lambdas=(1.0, 0.0, 0.0))
+
+
+def test_lm3_bigram_path_unchanged(spark):
+    """The round-4-certified bigram scorer still gives its exact shape
+    on the same fixture (guard against accidental coupling)."""
+    df = spark.createDataFrame(LM3_DOCS, "doc_id long, text string")
+    out = T.ngram_lm_score(df, "doc_id", "text")
+    assert out.columns == ["doc_id", "n_bigrams", "avg_logp", "ppl"]
+    got = {r.doc_id: r.n_bigrams for r in out.collect()}
+    assert got[5] == 1 and got[6] == 0 and got[1] == 9
 
 
 def test_trigram_langid_beats_stopword_heuristic_on_italian(spark):

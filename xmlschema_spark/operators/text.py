@@ -478,6 +478,132 @@ def ngram_lm_score(
     )
 
 
+def _trigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2, w3) — one row per adjacent token triple,
+    :func:`tokens` tokenization. Docs with < 3 tokens emit nothing."""
+    toks = tokens(F.col(text_col))
+    n3 = F.size(toks) - 2
+    trips = F.when(
+        n3 >= 1,
+        F.arrays_zip(
+            F.slice(toks, 1, n3).alias("w1"),
+            F.slice(toks, 2, n3).alias("w2"),
+            F.slice(toks, 3, n3).alias("w3"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"), F.explode(trips).alias("__p"))
+        .select(
+            "__id",
+            F.col("__p.w1").alias("w1"),
+            F.col("__p.w2").alias("w2"),
+            F.col("__p.w3").alias("w3"),
+        )
+    )
+
+
+def ngram_lm3_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model_df: DataFrame | None = None,
+    model_text_col: str | None = None,
+    alpha: float = 0.5,
+    lambdas: tuple[float, float, float] = (0.5, 0.3, 0.2),
+) -> DataFrame:
+    """Interpolated trigram language-model scoring — the higher-order
+    option over :func:`ngram_lm_score` (whose bigram path is unchanged):
+    ``p(w3|w1 w2) = λ3·p̂3 + λ2·p̂2 + λ1·p̂1`` with add-α estimates at
+    each order,
+
+    - ``p̂3 = (c(w1w2w3)+α) / (c(w1w2)+α·V)``
+    - ``p̂2 = (c(w2w3)+α)  / (c(w2)+α·V)``
+    - ``p̂1 = (c(w3)+α)    / (N+α·V)``
+
+    (V = distinct unigram vocabulary, N = total model tokens). Linear
+    interpolation degrades gracefully from sharp trigram evidence to the
+    corpus unigram prior — the standard Jelinek-Mercer shape, and the
+    same smoothing family as the bigram scorer so both tails agree on α.
+
+    Output: one row per input document — id, ``n_trigrams``,
+    ``avg_logp`` (NULL when the doc has < 3 tokens), ``ppl`` =
+    exp(−avg_logp).
+
+    Plan at 10^12 docs: all four model tables (trigram / bigram /
+    unigram counts + the 1-row N,V totals) are PRE-AGGREGATED and
+    vocabulary-bounded, built from ONE tokenization of the model corpus;
+    the scoring side shuffles doc trigrams once per join key where AQE
+    skew-split handles stopword-tuple hot keys and Spark broadcasts the
+    dims when they fit (the usual case). No driver data, no UDFs —
+    the entire mixture is codegen arithmetic."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    l3, l2, l1 = (float(x) for x in lambdas)
+    if min(l3, l2, l1) <= 0 or abs(l3 + l2 + l1 - 1.0) > 1e-9:
+        raise ValueError(f"lambdas must be positive and sum to 1, got {lambdas}")
+    model = df if model_df is None else model_df
+    mtext = text_col if model_text_col is None else model_text_col
+    if model_df is not None:
+        # corpus-level aggregations only — constant placeholder id, as in
+        # ngram_lm_score
+        model = model.select(F.lit(0).alias("__mid"), F.col(mtext))
+        mid = "__mid"
+    else:
+        mid = id_col
+    mtg = _trigram_rows(model, mid, mtext)
+    mbg = _bigram_rows(model, mid, mtext)
+    mtok = model.select(F.explode(tokens(F.col(mtext))).alias("w"))
+    c123 = mtg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("__c123"))
+    c12 = mbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    c1 = mtok.groupBy("w").agg(F.count(F.lit(1)).alias("__c1"))
+    totals = mtok.agg(
+        F.count(F.lit(1)).alias("__n"), F.count_distinct(F.col("w")).alias("__v")
+    )
+
+    a = F.lit(float(alpha))
+    doc_tg = _trigram_rows(df, id_col, text_col)
+    joined = (
+        doc_tg.join(c123, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(
+            c12.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                F.col("__c12").alias("__c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(c1.select(F.col("w").alias("w2"), F.col("__c1").alias("__c2")), ["w2"], "left")
+        .join(c1.select(F.col("w").alias("w3"), F.col("__c1").alias("__c3")), ["w3"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    av = a * F.col("__v")
+    p3 = (F.coalesce(F.col("__c123"), F.lit(0)) + a) / (
+        F.coalesce(F.col("__c12"), F.lit(0)) + av
+    )
+    p2 = (F.coalesce(F.col("__c23"), F.lit(0)) + a) / (
+        F.coalesce(F.col("__c2"), F.lit(0)) + av
+    )
+    p1 = (F.coalesce(F.col("__c3"), F.lit(0)) + a) / (F.col("__n") + av)
+    scored = joined.select(
+        "__id",
+        F.log(F.lit(l3) * p3 + F.lit(l2) * p2 + F.lit(l1) * p1).alias("__logp"),
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"), F.avg("__logp").alias("avg_logp")
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+            "avg_logp",
+            F.exp(-F.col("avg_logp")).alias("ppl"),
+        )
+    )
+
+
 def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document token-distribution Shannon entropy — the gibberish /
     keyword-stuffing detector that length-and-punctuation features miss:
