@@ -81,7 +81,10 @@ BENCH_QUERIES = [
     "quality_suite_events",       # ONE-PASS quality suite (4 verdict families, 1 scan)
     "paired_alignment_embeddings", # cross-modal pair alignment (map-only cosine)
     "lm_score_docs",              # bigram LM scoring (vocab-dim join + per-doc avg)
+    "lm3_score_docs",             # interpolated trigram LM (4 broadcast model dims)
     "entropy_docs",               # token entropy (two-level partial agg)
+    "lang_trigram_docs",          # char-trigram lang ID (broadcast profile + argmax)
+    "wav_header_check_audio",     # zero-decode RIFF/WAVE header validation
     "keyref_coverage_orders",     # referential-coverage verdicts (BHJ + one agg)
 ]
 

@@ -225,17 +225,18 @@ def detect_language_trigram(
 
     Plan at 10^12 docs: normalization + trigram explode is one codegen
     projection + Generate (linear in corpus chars); the profile join is
-    a ~len(langs)·top_k-row BROADCAST dim; per-(doc, lang) aggregation
-    has map-side partials; the final argmax is a row_number window over
-    n_langs rows per doc. No driver data beyond the profile literals, no
-    UDFs anywhere."""
+    a ~len(langs)·top_k-row BROADCAST dim; then exactly ONE row-scale
+    aggregation (a per-doc pivot to len(langs) bonus-sum columns, with
+    map-side partials collapsing the explode) and ONE join back to the
+    doc spine — the argmax is a ``greatest()`` over len(langs) structs
+    ordered (score, lang-rank), pure codegen, so there is no per-doc
+    window and no doc×lang grid anywhere. No driver data beyond the
+    profile literals, no UDFs."""
     bases, weights = build_trigram_profiles(top_k=top_k, alpha=alpha, scale=scale)
+    langs = sorted(bases)
     spark = df.sparkSession
     wdf = F.broadcast(
         spark.createDataFrame(weights, "lang string, tri string, bonus long")
-    )
-    ldf = F.broadcast(
-        spark.createDataFrame(sorted(bases.items()), "lang string, base long")
     )
 
     c = F.col(text_col)
@@ -260,45 +261,43 @@ def detect_language_trigram(
             )
         ).alias("tri"),
     )
+    # one shuffle: per-doc bonus sums pivoted to a fixed column per
+    # language (values pinned -> no discovery job); docs whose trigrams
+    # hit no profile at all simply miss from the pivot and coalesce to 0
     hits = (
         tris.join(wdf, "tri")
-        .groupBy("__id", "lang")
-        .agg(F.sum("bonus").alias("__s"))
+        .groupBy("__id")
+        .pivot("lang", langs)
+        .sum("bonus")
     )
-    grid = (
-        elig.select("__id", "__ntri")
-        .crossJoin(ldf)
-        .join(hits, ["__id", "lang"], "left")
-        .select(
-            "__id",
-            "lang",
-            "__ntri",
-            (F.col("__ntri") * F.col("base") + F.coalesce(F.col("__s"), F.lit(0))).alias(
-                "score"
-            ),
+    # argmax via greatest() over (score, lang-rank, lang) structs: struct
+    # comparison is field-order lexicographic, and rank descends in lang
+    # order so a score tie picks the lexicographically SMALLEST code
+    cands = [
+        F.struct(
+            (
+                F.col("__ntri") * F.lit(bases[lang])
+                + F.coalesce(F.col(f"`{lang}`"), F.lit(0))
+            ).alias("s"),
+            F.lit(len(langs) - 1 - i).alias("o"),
+            F.lit(lang).alias("lang"),
         )
-    )
-    from pyspark.sql import Window as _W
-
-    w = _W.partitionBy("__id").orderBy(F.desc("score"), F.asc("lang"))
-    best = (
-        grid.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("__id", F.col("lang").alias("lang_pred"), "score")
-    )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.greatest(*cands)
     return (
-        base.join(best, "__id", "left")
+        base.join(hits, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
             F.when(F.col("__isnull"), F.lit(None).cast("string"))
             .when(F.col("__cjk"), F.lit("zh"))
             .when(F.col("__ntri") == 0, F.lit("und"))
-            .otherwise(F.col("lang_pred"))
+            .otherwise(best["lang"])
             .alias("lang_pred"),
             F.col("__ntri").alias("n_trigrams"),
             F.when(
                 ~F.col("__isnull") & ~F.col("__cjk") & (F.col("__ntri") > 0),
-                F.col("score"),
+                best["s"],
             ).alias("score"),
         )
     )
