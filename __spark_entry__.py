@@ -1152,7 +1152,7 @@ def q_image_suite_rowrules(spark, sf_dir):
     duration), and the table-scope key + unique duplicate detection.
     Only decode/PSNR stay rows-only (image_suite_verdicts, golden
     manifest). Fixture pinned to the generator by
-    tests/test_images.py::test_rowrules_fixture_matches_generator."""
+    tests/test_round4.py::test_rowrules_fixture_matches_generator."""
     from xmlschema_spark.sources.rules_loader import default_image_ruleset
 
     rules = RuleSet(

@@ -5,7 +5,7 @@ table over which `image_suite_rowrules` is oracle-certified.
 Committing the parquet (instead of generating it inside the query)
 removes any Spark-vs-DuckDB ordering dependency: BOTH engines read the
 SAME file, so the certified content is exactly the rule evaluation.
-tests/test_images.py::test_rowrules_fixture_matches_generator pins the
+tests/test_round4.py::test_rowrules_fixture_matches_generator pins the
 file to the generator — regenerating with these parameters must
 reproduce it value-for-value.
 
