@@ -1568,6 +1568,38 @@ _HDR_ALIEN_HEX = "47494638" + "00" * 8
 _AUDIO_FIXTURE = str(Path(__file__).resolve().parent / "fixtures" / "audio_rowrules.parquet")
 
 
+def q_audio_decode_stats(spark, sf_dir):
+    """Audio decode + feature extraction over the committed WAV fixture
+    via the DEFAULT RIFF/WAVE codec hook (multimodal.audio_features with
+    decode_fn=None — the pure-Python chunk-walk parser): corpus-level
+    decode/duration/loudness stats. Rows-only by necessity (pandas-UDF
+    decode, like image_decode_stats); its oracle-certified sibling over
+    the same fixture is wav_header_check_audio, and the per-clip feature
+    arithmetic is golden-tested in tests/test_containers.py.
+
+    The production composition: the zero-decode header triage routes
+    rows first (foreign containers — the fixture's OggS family — raise
+    the loud no-codec contract by design, so they must not reach the
+    WAV decode pass), then audio_features decodes only the rows the
+    RIFF/WAVE path owns; truncated/non-PCM rows stay in and surface as
+    decode_ok=false."""
+    b = F.col("bytes")
+    is_wav = (
+        b.isNotNull()
+        & (F.hex(F.substring(b, 1, 4)) == F.lit("52494646"))
+        & (F.hex(F.substring(b, 9, 4)) == F.lit("57415645"))
+    )
+    df = spark.read.parquet(_AUDIO_FIXTURE).select("audio_id", "bytes")
+    feats = mm_ops.audio_features(df.filter(is_wav))
+    return feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decode_ok"),
+        F.round(F.sum("duration_s"), 3).alias("total_duration_s"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("rms"))), 4).alias("avg_rms"),
+        F.round(F.avg(F.when(F.col("decode_ok"), F.col("zero_cross_rate"))), 4).alias("avg_zcr"),
+    )
+
+
 def q_wav_header_check_audio(spark, sf_dir):
     """Zero-decode RIFF/WAVE container-header validation
     (multimodal.wav_header_check) — the audio twin of
@@ -2381,6 +2413,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_suite_verdicts": q_image_suite_verdicts,
         "image_decode_stats": q_image_decode_stats,
         "image_features": q_image_features,
+        "audio_decode_stats": q_audio_decode_stats,  # NEW r05, rows-only
+        # by necessity (pandas-UDF WAV decode via the default hook);
+        # oracle-certified sibling over the same fixture:
+        # wav_header_check_audio; feature arithmetic golden-tested in
+        # tests/test_containers.py
     }
 
 

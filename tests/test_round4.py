@@ -118,7 +118,8 @@ def test_certification_window_composition():
     # (image/pandas-UDF queries and the xxhash64 fingerprint excepted:
     # rows-only by necessity, each with an oracle-certified sibling)
     rows_only_ok = {"image_suite_verdicts", "image_decode_stats",
-                    "image_features", "fingerprint_docs"}
+                    "image_features", "fingerprint_docs",
+                    "audio_decode_stats"}
     past = [q for q in qs[50:] if q not in oracles and q not in rows_only_ok]
     assert past == [], past
 
