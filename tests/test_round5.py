@@ -209,6 +209,49 @@ def test_lm3_bigram_path_unchanged(spark):
     assert got[5] == 1 and got[6] == 0 and got[1] == 9
 
 
+# --------------------------------------------------------------------------
+# declarative lang_expected rule kind
+# --------------------------------------------------------------------------
+
+def test_lang_expected_rule_kind(spark):
+    """The caption-language gate runs inside the normal engine pass:
+    non-English captions violate, NULL passes (not_null owns missingness),
+    'und' is acceptable when listed."""
+    from xmlschema_spark.engine import ValidationEngine
+    from xmlschema_spark.rules import Rule, RuleSet
+
+    df = spark.createDataFrame(
+        [
+            ("a", "the cat sat on the mat and it was happy there", "p0"),
+            ("b", "der zug kam erst am späten abend an und die kinder warteten", "p0"),
+            ("c", "这是一个中文句子", "p0"),
+            ("d", None, "p0"),
+            ("e", "12345 --- !!!", "p0"),  # 'und'
+        ],
+        "doc_id string, caption string, part string",
+    )
+    rules = RuleSet([
+        Rule(rule_id="caption_en", kind="lang_expected", column="caption",
+             params={"langs": ["en", "und"]}),
+    ])
+    res = ValidationEngine(rules, id_col="doc_id", partition_col="part").validate(
+        df, run_id="lang", with_stats=False
+    )
+    bad = sorted(r.row_id for r in res.violations.collect())
+    assert bad == ["b", "c"]
+
+
+def test_lang_expected_rule_kind_bad_params():
+    from xmlschema_spark.rules import Rule, RuleCompileError
+    from xmlschema_spark.operators.text import _lang_rule_ok
+
+    with pytest.raises(RuleCompileError, match="lang_expected"):
+        _lang_rule_ok(Rule(rule_id="x", kind="lang_expected", column="caption"))
+    with pytest.raises(RuleCompileError, match="lang_expected"):
+        _lang_rule_ok(Rule(rule_id="x", kind="lang_expected", column="caption",
+                           params={"langs": "en"}))
+
+
 def test_trigram_langid_beats_stopword_heuristic_on_italian(spark):
     """The trigram path identifies languages the 4-language stopword
     heuristic cannot (it/pt are not in STOPWORDS at all)."""

@@ -35,6 +35,9 @@ from xmlschema_spark.operators import drift as drift_ops
 from xmlschema_spark.operators import identity as id_ops
 from xmlschema_spark.operators import multimodal as mm_ops
 from xmlschema_spark.operators import stats as stats_ops
+from xmlschema_spark.operators import text as _text_ops  # noqa: F401 —
+# imported for its side effect: registers the lang_expected rule kind
+# (the same pattern multimodal uses for header_consistent)
 from xmlschema_spark.rules import RuleSet
 
 VIOLATION_SCHEMA = T.StructType(

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from xmlschema_spark.rules import register_rule_kind
+
 # tiny per-language stopword lists for the n-gram/stopword-ratio heuristic
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
@@ -301,6 +303,37 @@ def detect_language_trigram(
             ).alias("score"),
         )
     )
+
+
+def _lang_rule_ok(rule):
+    """Compile fn for the registered ``lang_expected`` rule kind — the
+    declarative caption-language gate (e.g. "captions must be English"
+    on the image+caption table): True ⇔ :func:`detect_language`'s
+    single-expression stopword+script heuristic puts the text in one of
+    ``params.langs`` (include ``'und'`` to accept undetermined text).
+    NULL text passes — ``not_null`` owns missingness.
+
+    This is deliberately the HEURISTIC: a row rule must compile to one
+    boolean Column inside the wide pass. For corpus-grade identification
+    run :func:`detect_language_trigram` as a set-level pass and gate on
+    its ``lang_pred`` output."""
+    langs = (rule.params or {}).get("langs")
+    if not langs or not isinstance(langs, (list, tuple)):
+        from xmlschema_spark.rules import RuleCompileError
+
+        raise RuleCompileError(
+            f"{rule.rule_id}: lang_expected needs params.langs (a list of codes)"
+        )
+    c = F.col(rule.column)
+    return c.isNull() | detect_language(c).isin([str(x) for x in langs])
+
+
+def _lang_rule_reason(rule) -> str:
+    langs = (rule.params or {}).get("langs", [])
+    return f"text language not in expected set {sorted(str(x) for x in langs)}"
+
+
+register_rule_kind("lang_expected", _lang_rule_ok, _lang_rule_reason)
 
 
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
