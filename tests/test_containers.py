@@ -285,6 +285,65 @@ def test_wav_header_rule_kind_single_check(spark):
     assert res.violations.count() == 9  # only the rate_mismatch family
 
 
+def test_gif_header_check_rules(spark):
+    """Zero-decode GIF pre-flight: each crafted row fires exactly its
+    rule; declared dims come from the logical screen descriptor."""
+    import struct
+
+    from xmlschema_spark.operators import multimodal
+
+    good = containers.encode_gif([np.zeros((7, 5, 3), np.uint8)])
+    alien = b"RIFF" + good[4:]
+    short = good[:8]
+    no_trailer = good[:-1]
+    rows = [
+        ("ok", bytearray(good), 5, 7),
+        ("alien", bytearray(alien), 5, 7),
+        ("short", bytearray(short), 5, 7),
+        ("cut", bytearray(no_trailer), 5, 7),
+        ("bad_w", bytearray(good), 6, 7),
+        ("bad_h", bytearray(good), 5, 9),
+        ("nullb", None, 5, 7),
+        ("nulldims", bytearray(good), None, None),
+    ]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary, w int, h int")
+    got = sorted(
+        (r.row_id, r.rule_id)
+        for r in multimodal.gif_header_check(df).collect()
+    )
+    assert got == [
+        ("alien", "gif_magic"),
+        ("bad_h", "gif_h_match"),
+        ("bad_w", "gif_w_match"),
+        ("cut", "gif_trailer"),
+        ("short", "gif_short"),
+    ]
+    # sanity on the LSD arithmetic the rule decodes
+    assert struct.unpack_from("<HH", bytes(good), 6) == (5, 7)
+
+
+def test_gif_header_rule_kind(spark):
+    from xmlschema_spark.engine import ValidationEngine
+    from xmlschema_spark.rules import Rule, RuleCompileError, RuleSet
+    from xmlschema_spark.operators.multimodal import _gif_rule_ok
+
+    good = containers.encode_gif([np.zeros((4, 4, 3), np.uint8)])
+    df = spark.createDataFrame(
+        [("a", bytearray(good), 4, 4, "p0"), ("b", bytearray(good[:-1]), 4, 4, "p0")],
+        "video_id string, bytes binary, w int, h int, part string",
+    )
+    rules = RuleSet([
+        Rule(rule_id="gif_ok", kind="gif_header_consistent", column="bytes"),
+    ])
+    res = ValidationEngine(rules, id_col="video_id", partition_col="part").validate(
+        df, run_id="gif", with_stats=False
+    )
+    assert [r.row_id for r in res.violations.collect()] == ["b"]
+    with pytest.raises(RuleCompileError, match="gif_header_consistent"):
+        _gif_rule_ok(Rule(rule_id="x", kind="gif_header_consistent",
+                          column="bytes", params={"check": "fps"}))
+
+
 def test_wav_header_rule_kind_bad_check_raises():
     from xmlschema_spark.rules import Rule, RuleCompileError
     from xmlschema_spark.operators.multimodal import _wav_rule_ok

@@ -531,6 +531,132 @@ def _wav_rule_reason(rule) -> str:
 register_rule_kind("wav_header_consistent", _wav_rule_ok, _wav_rule_reason)
 
 
+# GIF logical-screen-descriptor layout: magic(6) + w(u16 LE) + h(u16 LE)
+# + packed + bg + aspect = 13-byte header; 0x3B trailer closes the file
+GIF_HEADER_LEN = 13
+_GIF_MAGICS_HEX = ("474946383761", "474946383961")  # b"GIF87a", b"GIF89a"
+
+
+def _gif_fields(b) -> dict:
+    """Header fields of a GIF container as Catalyst columns — the video
+    face of :func:`header_fields` / :func:`_wav_fields`: magic flag, the
+    logical-screen u16 LE dims, and the trailer byte (a cheap whole-file
+    truncation detector — every complete GIF ends in 0x3B)."""
+    magic_hex = F.hex(F.substring(b, 1, 6))
+    return {
+        "magic_ok": magic_hex.isin(list(_GIF_MAGICS_HEX)),
+        "screen_w": _le16(b, 7),
+        "screen_h": _le16(b, 9),
+        "trailer_ok": F.hex(F.substring(b, F.octet_length(b), 1)) == F.lit("3B"),
+    }
+
+
+def gif_header_check(
+    df: DataFrame,
+    id_col: str = "video_id",
+    part_col: str | None = None,
+) -> DataFrame:
+    """Violation rows for declared metadata vs the GIF container header —
+    the zero-decode pre-flight of the video path (the triad-completing
+    twin of :func:`header_check` and :func:`wav_header_check`):
+
+    - ``gif_short``   — bytes non-null but < the 13-byte header
+    - ``gif_magic``   — neither ``GIF87a`` nor ``GIF89a``
+    - ``gif_w_match`` / ``gif_h_match`` — declared ``w`` / ``h`` != the
+      logical-screen u16 LE dims
+    - ``gif_trailer`` — the file does not end in the ``0x3B`` trailer
+      (mid-stream truncation caught without touching the LZW payload)
+
+    NULL semantics as the siblings: NULL bytes passes, ``short`` owns
+    truncation below the header, ``magic`` owns foreign containers, NULL
+    declared metadata skips its comparison. One pruned scan, one
+    Generate, no shuffle, no Python — runs before any frame decode."""
+    b = F.col("bytes")
+    hf = _gif_fields(b)
+    long_enough = b.isNotNull() & (F.octet_length(b) >= GIF_HEADER_LEN)
+    known = long_enough & hf["magic_ok"]
+
+    def _v(cond, rule: str, column: str):
+        return F.when(
+            cond,
+            F.struct(F.lit(rule).alias("rule_id"), F.lit(column).alias("column")),
+        )
+
+    viols = F.array(
+        _v(b.isNotNull() & (F.octet_length(b) < GIF_HEADER_LEN), "gif_short", "bytes"),
+        _v(long_enough & ~hf["magic_ok"], "gif_magic", "bytes"),
+        _v(
+            known & F.col("w").isNotNull()
+            & (F.col("w").cast("long") != hf["screen_w"]),
+            "gif_w_match", "w",
+        ),
+        _v(
+            known & F.col("h").isNotNull()
+            & (F.col("h").cast("long") != hf["screen_h"]),
+            "gif_h_match", "h",
+        ),
+        _v(known & ~hf["trailer_ok"], "gif_trailer", "bytes"),
+    )
+    part = F.col(part_col) if part_col else F.lit("__table__")
+    return (
+        df.select(
+            part.alias("partition_id"),
+            F.col(id_col).alias("row_id"),
+            F.explode(F.filter(viols, lambda x: x.isNotNull())).alias("__v"),
+        )
+        .select(
+            "partition_id",
+            F.col("__v.rule_id").alias("rule_id"),
+            "row_id",
+            F.col("__v.column").alias("column"),
+            F.lit("error").alias("severity"),
+        )
+    )
+
+
+def _gif_rule_ok(rule):
+    """Compile fn for the registered ``gif_header_consistent`` rule kind:
+    ``params.check`` ∈ short / magic / w / h / trailer / all (default).
+    Declared-dim columns rename via ``params.w_col/h_col``. NULL
+    semantics as :func:`gif_header_check`."""
+    b = F.col(rule.column or "bytes")
+    hf = _gif_fields(b)
+    p = rule.params or {}
+    w_col = F.col(p.get("w_col", "w"))
+    h_col = F.col(p.get("h_col", "h"))
+    too_short = F.octet_length(b) < GIF_HEADER_LEN
+    skip = b.isNull() | too_short | ~hf["magic_ok"]
+    oks = {
+        "short": b.isNull() | ~too_short,
+        "magic": b.isNull() | too_short | hf["magic_ok"],
+        "w": skip | w_col.isNull() | (w_col.cast("long") == hf["screen_w"]),
+        "h": skip | h_col.isNull() | (h_col.cast("long") == hf["screen_h"]),
+        "trailer": skip | hf["trailer_ok"],
+    }
+    check = p.get("check", "all")
+    if check == "all":
+        ok = oks["short"]
+        for k in ("magic", "w", "h", "trailer"):
+            ok = ok & oks[k]
+        return ok
+    if check not in oks:
+        from xmlschema_spark.rules import RuleCompileError
+
+        raise RuleCompileError(
+            f"{rule.rule_id}: gif_header_consistent check must be one of "
+            f"{sorted(oks)} or 'all', got {check!r}"
+        )
+    return oks[check]
+
+
+def _gif_rule_reason(rule) -> str:
+    check = (rule.params or {}).get("check", "all")
+    return f"GIF header inconsistent with declared metadata (check={check})"
+
+
+register_rule_kind("gif_header_consistent", _gif_rule_ok, _gif_rule_reason)
+
+
 def regex_check(df: DataFrame, column: str, pattern: str, id_col: str) -> DataFrame:
     """Fallback for XSD patterns the Java-regex translator can't express:
     anchored Python ``re`` applied per Arrow batch via a vectorized pandas
