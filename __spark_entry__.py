@@ -1600,6 +1600,111 @@ def q_audio_decode_stats(spark, sf_dir):
     )
 
 
+_VIDEO_FIXTURE = str(Path(__file__).resolve().parent / "fixtures" / "video_rowrules.parquet")
+
+
+def q_gif_header_check_videos(spark, sf_dir):
+    """Zero-decode GIF container-header validation
+    (multimodal.gif_header_check) — completes the container pre-flight
+    triad (image / audio / video): declared w/h vs the logical-screen
+    u16 LE dims, GIF87a/89a magic, and the 0x3B trailer byte (mid-stream
+    truncation caught without touching the LZW payload), all PURE
+    Catalyst hex/conv. Over the committed deterministic fixture (real
+    multi-frame GIF87a bytes from the pure-Python encoder); the
+    corrupt-LZW and declared-frame-count families are header-invisible
+    BY DESIGN (the decode pass owns them — video_frames_stats). Oracle
+    replays the hex arithmetic byte-for-byte. Fixture pinned by
+    tests/test_containers.py::test_video_fixture_matches_generator."""
+    df = spark.read.parquet(_VIDEO_FIXTURE)
+    return mm_ops.gif_header_check(df, part_col="part")
+
+
+def _gif_header_check_oracle() -> str:
+    """DuckDB replay of multimodal.gif_header_check — the
+    _wav_header_check_oracle style: hex the blob once, slice magic and
+    trailer, rebuild the two little-endian u16 screen dims."""
+
+    def le16(off: int) -> str:
+        terms = []
+        for i in range(2):
+            p = (off - 1 + i) * 2
+            terms.append(
+                f"(((strpos('0123456789ABCDEF', substring(hx,{p + 1},1))-1)*16"
+                f" + (strpos('0123456789ABCDEF', substring(hx,{p + 2},1))-1))"
+                f" * {256 ** i})"
+            )
+        return " + ".join(terms)
+
+    return f"""
+WITH e AS (
+  SELECT video_id, w, h, part, octet_length(bytes) AS blen, hex(bytes) AS hx
+  FROM read_parquet('@FIXTURE@') WHERE bytes IS NOT NULL
+),
+f AS (
+  SELECT *,
+         (substring(hx, 1, 12) IN ('474946383761', '474946383961')) AS magic_ok,
+         {le16(7)} AS sw,
+         {le16(9)} AS sh,
+         (substring(hx, blen * 2 - 1, 2) = '3B') AS trailer_ok
+  FROM e
+),
+v AS (
+  SELECT part, 'gif_short' AS rule_id, video_id AS row_id, 'bytes' AS col
+  FROM f WHERE blen < 13
+  UNION ALL
+  SELECT part, 'gif_magic', video_id, 'bytes' FROM f
+   WHERE blen >= 13 AND NOT magic_ok
+  UNION ALL
+  SELECT part, 'gif_w_match', video_id, 'w' FROM f
+   WHERE blen >= 13 AND magic_ok AND w IS NOT NULL AND w <> sw
+  UNION ALL
+  SELECT part, 'gif_h_match', video_id, 'h' FROM f
+   WHERE blen >= 13 AND magic_ok AND h IS NOT NULL AND h <> sh
+  UNION ALL
+  SELECT part, 'gif_trailer', video_id, 'bytes' FROM f
+   WHERE blen >= 13 AND magic_ok AND NOT trailer_ok
+)
+SELECT part AS partition_id, rule_id, row_id, col AS "column",
+       'error' AS severity FROM v
+"""
+
+
+def q_video_frames_stats(spark, sf_dir):
+    """Video frame extraction over the committed GIF fixture via the
+    DEFAULT codec hook (multimodal.extract_frames with decode_fn=None —
+    the pure-Python LZW reader, frames re-encoded as engine-codec BMP):
+    corpus-level decode/frame stats plus the declared-frame-count audit
+    the header rules cannot see. Rows-only by necessity (pandas-UDF
+    decode); oracled sibling over the same fixture:
+    gif_header_check_videos. Header triage routes foreign containers
+    first (the loud no-codec contract stays loud); corrupt-LZW and
+    trailer-truncated rows drop (the extract_frames coverage-check
+    signal) and surface in n_videos_in - n_videos_decoded."""
+    b = F.col("bytes")
+    is_gif = b.isNotNull() & F.hex(F.substring(b, 1, 6)).isin(
+        ["474946383761", "474946383961"]
+    )
+    df = spark.read.parquet(_VIDEO_FIXTURE)
+    src = df.filter(is_gif).select("video_id", "bytes")
+    frames = mm_ops.extract_frames(src, every_n=1)
+    per_video = frames.groupBy("video_id").agg(
+        F.count(F.lit(1)).alias("__nf")
+    )
+    joined = df.select("video_id", "n_frames").join(per_video, "video_id", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_videos"),
+        F.sum(F.col("__nf").isNotNull().cast("long")).alias("n_videos_decoded"),
+        F.sum(F.coalesce(F.col("__nf"), F.lit(0))).alias("n_frames_total"),
+        F.sum(
+            (
+                F.col("__nf").isNotNull()
+                & F.col("n_frames").isNotNull()
+                & (F.col("__nf") != F.col("n_frames"))
+            ).cast("long")
+        ).alias("n_frame_count_mismatch"),
+    )
+
+
 def q_wav_header_check_audio(spark, sf_dir):
     """Zero-decode RIFF/WAVE container-header validation
     (multimodal.wav_header_check) — the audio twin of
@@ -2231,8 +2336,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # functional-dependency audit, one grouped agg
         "time_gaps_events": q_time_gaps_events,  # NEW r04: silent-period
         # detection, hot-scope split path certified vs single-window oracle
-        "volume_anomaly_events": q_volume_anomaly_events,  # NEW r04:
-        # robust per-partition volume verdicts (median ± 3·MAD)
         "snapshot_diff_orders": q_snapshot_diff_orders,  # NEW r04: key-level
         # added/removed/changed reconciliation between two snapshots
         "distinctness_events": q_distinctness_events,  # NEW r04: per-
@@ -2298,6 +2401,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the pure-Python encoder (audio twin of header_check_images);
         # displaces freshness_events (driver-r04 hash; freshness verdicts
         # stay covered in-window by quality_suite_events) past the window
+        "gif_header_check_videos": q_gif_header_check_videos,  # NEW r05:
+        # zero-decode GIF header validation — the container pre-flight
+        # triad complete (image/audio/video); displaces
+        # volume_anomaly_events (driver-r04 hash; volume verdicts stay
+        # covered in-window by quality_suite_events) past the window
         "heavy_hitters_events": q_heavy_hitters_events,
         "domain_cap_docs": q_domain_cap_docs,
         "novel_docs_batch": q_novel_docs_batch,
@@ -2310,6 +2418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tier_events": q_asof_tier_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         # -- past the window: unchanged since their certifying round ------
+        "volume_anomaly_events": q_volume_anomaly_events,  # r04 (volume
+        # verdicts stay covered in-window by quality_suite_events' one-pass
+        # suite; demoted r05 for gif_header_check_videos)
         "near_dedup_keep_docs": q_near_dedup_keep_docs,  # r04 (the
         # near-dup keep stage stays covered in-window by
         # near_dedup_minhash_keep's end-to-end pipeline and
@@ -2417,6 +2528,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by necessity (pandas-UDF WAV decode via the default hook);
         # oracle-certified sibling over the same fixture:
         # wav_header_check_audio; feature arithmetic golden-tested in
+        # tests/test_containers.py
+        "video_frames_stats": q_video_frames_stats,  # NEW r05, rows-only
+        # by necessity (pandas-UDF GIF decode via the default hook);
+        # oracle-certified sibling over the same fixture:
+        # gif_header_check_videos; frame decoding golden-tested in
         # tests/test_containers.py
     }
 
@@ -2711,6 +2827,9 @@ def oracle_sql() -> dict[str, str]:
         "@FIXTURE@", _AUDIO_FIXTURE
     )
     sql["lang_trigram_docs"] = _lang_trigram_oracle()
+    sql["gif_header_check_videos"] = _gif_header_check_oracle().replace(
+        "@FIXTURE@", _VIDEO_FIXTURE
+    )
     sql["fd_violations_lineitem"] = """
 SELECT l_orderkey,
        count(DISTINCT l_shipdate)::BIGINT AS n_values,

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "entropy_docs",               # token entropy (two-level partial agg)
     "lang_trigram_docs",          # char-trigram lang ID (broadcast profile + argmax)
     "wav_header_check_audio",     # zero-decode RIFF/WAVE header validation
+    "gif_header_check_videos",    # zero-decode GIF header validation
     "keyref_coverage_orders",     # referential-coverage verdicts (BHJ + one agg)
 ]
 

@@ -209,6 +209,54 @@ def test_audio_fixture_matches_generator():
     assert committed.equals(regenerated)
 
 
+def test_video_fixture_matches_generator():
+    """The committed GIF fixture parquet must be value-identical to the
+    deterministic generator at the pinned parameters."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from make_video_fixture import OUT, build_table
+
+    assert OUT.exists(), "run scripts/make_video_fixture.py"
+    committed = pq.read_table(OUT)
+    regenerated = build_table()
+    assert committed.schema == regenerated.schema
+    assert committed.num_rows == regenerated.num_rows == 300
+    assert committed.equals(regenerated)
+
+
+def test_gif_header_check_fixture_counts(spark):
+    """Exactly the four header-visible families fire (9 rows each);
+    corrupt-LZW and declared-frame-count families are header-invisible
+    BY DESIGN (the decode pass owns them)."""
+    from xmlschema_spark.operators import multimodal
+
+    df = spark.read.parquet(str(REPO / "fixtures" / "video_rowrules.parquet"))
+    by_rule = {
+        r.rule_id: r.n
+        for r in multimodal.gif_header_check(df, part_col="part")
+        .groupBy("rule_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_rule == {
+        "gif_short": 9, "gif_magic": 9, "gif_w_match": 9, "gif_trailer": 9,
+    }
+
+
+def test_video_frames_stats_golden(spark):
+    """The rows-only decode query over the fixture: null and bad_magic
+    drop at the JVM triage, short passes the magic slice but fails the
+    header decode, truncated and corrupt-LZW reach the LZW decoder and
+    fail there — 5 families x 9 rows never decode; only the
+    frames_mismatch family (9) disagrees with its declared count."""
+    import __spark_entry__ as entry
+
+    r = entry.q_video_frames_stats(spark, "unused").collect()[0]
+    assert r.n_videos == 300
+    assert r.n_videos_decoded == 300 - 9 * 5
+    assert r.n_frame_count_mismatch == 9
+    assert r.n_frames_total == 614  # deterministic fixture
+
+
 def test_wav_header_check_counts(spark):
     """Each injected family fires exactly its rule, 9 rows per family
     (frac 0.03 x n=300); clean rows fire nothing."""

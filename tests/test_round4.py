@@ -94,15 +94,16 @@ def test_certification_window_composition():
     assert "header_check_images" in window
     assert "fd_violations_lineitem" in window
     assert "time_gaps_events" in window
-    assert "volume_anomaly_events" in window
     assert "snapshot_diff_orders" in window
     # round-5 additions (freshness_events / completeness_events demoted:
     # their verdicts stay covered in-window by quality_suite_events)
     assert "wav_header_check_audio" in window
+    assert "gif_header_check_videos" in window
     assert "lang_trigram_docs" in window
     assert "lm3_score_docs" in window
     assert "freshness_events" not in window
     assert "completeness_events" not in window
+    assert "volume_anomaly_events" not in window
     assert "near_dedup_keep_docs" not in window
     assert "seq_regressions_events" in window
     assert "vector_checks_embeddings" in window
@@ -119,7 +120,7 @@ def test_certification_window_composition():
     # rows-only by necessity, each with an oracle-certified sibling)
     rows_only_ok = {"image_suite_verdicts", "image_decode_stats",
                     "image_features", "fingerprint_docs",
-                    "audio_decode_stats"}
+                    "audio_decode_stats", "video_frames_stats"}
     past = [q for q in qs[50:] if q not in oracles and q not in rows_only_ok]
     assert past == [], past
 
